@@ -1,0 +1,157 @@
+"""Changelog tailer: binlog/WAL directory → lake MERGE (north rule).
+
+Replaces the reference's pull-generator pipeline + unix-pipe
+parallelism (/root/reference/investigraph/pipeline.py:43-47,
+docs/run/parallelization.md) with Structured Streaming:
+
+    readStream(parquet, maxFilesPerTrigger)
+      → foreachBatch( normalize → LWW dedup → lake.merge )
+
+Exactly-once = Structured Streaming checkpoint (at-least-once
+redelivery) + the lake's idempotent commit log keyed by batch id
+(SURVEY.md §2.9 T4).  A killed query resumed from the same checkpoint
+re-delivers the in-flight batch with the same ``batchId``; the lake
+skips already-committed ids, so the final state is replay-invariant.
+
+Late / out-of-order events need no watermark: LWW on
+``event_sequence`` is order-insensitive within a batch, and across
+batches the merge's ``_seq``-max guard ignores stale arrivals
+(SURVEY.md §2.9 T5).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from investigraph_etl_spark.operators.lww import lww_dedup
+from investigraph_etl_spark.operators.normalize import normalize_events
+
+
+def change_schema(with_lang: bool = False) -> StructType:
+    fields = [
+        StructField("event_sequence", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+        StructField("event_time", TimestampType(), True),
+    ]
+    if with_lang:
+        fields.append(StructField("lang", StringType(), True))
+    return StructType(fields)
+
+
+def target_schema(with_lang: bool = False) -> StructType:
+    fields = [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+    if with_lang:
+        fields.append(StructField("lang", StringType(), True))
+    return StructType(fields)
+
+
+def prepare_batch(events: DataFrame, *, salt_buckets: int = 0) -> DataFrame:
+    """normalize → LWW-reduce one (micro)batch to ≤1 change row per key.
+
+    Narrow normalization + one keyed shuffle with map-side combine
+    (two with explicit salting) — the whole pre-merge pipeline.
+    ``event_time`` is stream metadata (lag metrics), not table payload.
+    """
+    cleaned = normalize_events(events).drop("event_time")
+    return lww_dedup(cleaned, "doc_id", "event_sequence", salt_buckets=salt_buckets)
+
+
+def replay_batch(events: DataFrame, lake, *, salt_buckets: int = 0, batch_id: int = 0) -> dict:
+    """Batch-mode full replay: the whole changelog as one merge."""
+    return lake.merge(prepare_batch(events, salt_buckets=salt_buckets), batch_id)
+
+
+class MetricsLog:
+    """Per-microbatch JSON-lines metrics (throughput, lag, lineage) —
+    the reference analog is progress logging + Collector stats
+    (/root/reference/investigraph/model/context.py:126-133,
+    /root/reference/investigraph/logic/export.py:64-79)."""
+
+    def __init__(self, path: str | None):
+        self.path = pathlib.Path(path) if path else None
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def write(self, record: dict) -> None:
+        if self.path:
+            with self.path.open("a") as fh:
+                fh.write(json.dumps(record) + "\n")
+
+
+def tail_changelog(
+    spark: SparkSession,
+    changelog_dir: str,
+    lake,
+    checkpoint_dir: str,
+    *,
+    with_lang: bool = False,
+    max_files_per_trigger: int = 4,
+    salt_buckets: int = 0,
+    metrics_path: str | None = None,
+    available_now: bool = True,
+):
+    """Start the tailer; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in the directory
+    and stops (the replay/bench mode); ``False`` keeps tailing.
+    The declared schema may be a superset of early files — parquet
+    fills missing columns with null, and the lake promotes genuinely
+    new columns on first sight (additive evolution, SURVEY.md T6).
+    """
+    metrics = MetricsLog(metrics_path)
+
+    stream = (
+        spark.readStream.schema(change_schema(with_lang))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_dir)
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        reduced = prepare_batch(batch, salt_buckets=salt_buckets)
+        result = lake.merge(reduced, batch_id)
+        dt = time.monotonic() - t0
+        n_in = batch.count()
+        metrics.write(
+            {
+                "batch_id": batch_id,
+                "rows_in": n_in,
+                "events_per_sec": round(n_in / dt, 2) if dt > 0 else None,
+                "seconds": round(dt, 3),
+                "lake_version": result.get("version"),
+                "skipped": result.get("skipped", False),
+                "touched_buckets": result.get("touched_buckets"),
+                "wall_time": time.time(),
+            }
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

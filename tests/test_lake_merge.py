@@ -1,0 +1,119 @@
+"""LakeTable MERGE semantics: replay equivalence (token-array equality
+per doc_id — the north-rule invariant), idempotency, late-event guard,
+tombstone no-resurrection, schema evolution, bucket pruning."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from investigraph_etl_spark.changelog import gen_events_pandas, oracle_reduce
+from investigraph_etl_spark.sources.lake import HashLakeTable
+from investigraph_etl_spark.streaming.tailer import (
+    change_schema,
+    prepare_batch,
+    replay_batch,
+    target_schema,
+)
+from tests.conftest import assert_pdf_equal
+
+
+def _spark_events(spark, pdf: pd.DataFrame, with_lang: bool = False):
+    return spark.createDataFrame(pdf, schema=change_schema(with_lang))
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return HashLakeTable.create(
+        spark, str(tmp_path / "lake"), target_schema(), num_buckets=8
+    )
+
+
+def test_batch_replay_equals_oracle(spark, lake):
+    events = gen_events_pandas(0, 4000, seed=42, n_docs=300, dirty_frac=0.1)
+    replay_batch(_spark_events(spark, events), lake)
+    got = lake.read().toPandas()
+    expected = oracle_reduce(events)
+    assert_pdf_equal(got, expected)
+
+
+def test_multi_batch_replay_equals_oracle(spark, lake):
+    events = gen_events_pandas(0, 3000, seed=1, n_docs=200)
+    for bid, start in enumerate(range(0, 3000, 700)):
+        chunk = events.iloc[start : start + 700]
+        lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_merge_idempotent_on_replayed_batch(spark, lake):
+    events = gen_events_pandas(0, 1000, seed=2, n_docs=100)
+    batch = prepare_batch(_spark_events(spark, events))
+    r1 = lake.merge(batch, 0)
+    v1 = lake.version
+    r2 = lake.merge(batch, 0)  # foreachBatch retry delivers same id
+    assert not r1["skipped"] and r2["skipped"]
+    assert lake.version == v1
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_late_events_cannot_rewind_state(spark, lake):
+    events = gen_events_pandas(0, 2000, seed=3, n_docs=150)
+    newer, older = events.iloc[1000:], events.iloc[:1000]
+    # deliver the *newer* half first, stale half afterwards
+    lake.merge(prepare_batch(_spark_events(spark, newer)), 0)
+    lake.merge(prepare_batch(_spark_events(spark, older)), 1)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_tombstone_blocks_resurrection(spark, lake):
+    cols = ["event_sequence", "op", "doc_id", "tokens", "n_tok", "source", "event_time"]
+    t = pd.to_datetime(0, unit="s")
+    ins = pd.DataFrame([[1, "insert", "x", [1, 2], 2, "web", t]], columns=cols)
+    dele = pd.DataFrame([[5, "delete", "x", None, None, None, t]], columns=cols)
+    stale = pd.DataFrame([[3, "update", "x", [9], 1, "web", t]], columns=cols)
+    lake.merge(prepare_batch(_spark_events(spark, ins)), 0)
+    lake.merge(prepare_batch(_spark_events(spark, dele)), 1)
+    # a late update older than the delete must NOT resurrect the row
+    lake.merge(prepare_batch(_spark_events(spark, stale)), 2)
+    assert lake.read().count() == 0
+    raw = lake.read_raw().toPandas()
+    assert len(raw) == 1 and bool(raw["_deleted"][0]) and int(raw["_seq"][0]) == 5
+
+
+def test_schema_evolution_promotes_new_column(spark, lake):
+    old = gen_events_pandas(0, 800, seed=4, n_docs=100)
+    new = gen_events_pandas(800, 800, seed=4, n_docs=100, with_lang=True)
+    lake.merge(prepare_batch(_spark_events(spark, old)), 0)
+    assert "lang" not in [f.name for f in lake.schema.fields]
+    lake.merge(prepare_batch(_spark_events(spark, new, with_lang=True)), 1)
+    assert "lang" in [f.name for f in lake.schema.fields]
+    combined = pd.concat([old, new], ignore_index=True)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(combined))
+    # rows last written before evolution read back with null lang
+    got = lake.read().toPandas().set_index("doc_id")
+    exp = oracle_reduce(combined).set_index("doc_id")
+    stale_docs = exp[exp["lang"].isna()].index
+    assert got.loc[stale_docs, "lang"].isna().all()
+
+
+def test_bucket_pruning_touches_only_needed_buckets(spark, lake):
+    events = gen_events_pandas(0, 2000, seed=5, n_docs=300)
+    lake.merge(prepare_batch(_spark_events(spark, events)), 0)
+    cols = ["event_sequence", "op", "doc_id", "tokens", "n_tok", "source", "event_time"]
+    one = pd.DataFrame(
+        [[99_999, "update", "doc-00000007", [7], 1, "web", pd.to_datetime(0, unit="s")]],
+        columns=cols,
+    )
+    r = lake.merge(prepare_batch(_spark_events(spark, one)), 1)
+    assert r["touched_buckets"] == 1
+    # untouched buckets' files carried forward unchanged
+    assert_pdf_equal(
+        lake.read().toPandas(),
+        oracle_reduce(pd.concat([events, one], ignore_index=True)),
+    )
+
+
+def test_salted_lww_same_result(spark, lake):
+    events = gen_events_pandas(0, 3000, seed=6, n_docs=50, skew_frac=0.6, n_hot=1)
+    lake.merge(prepare_batch(_spark_events(spark, events), salt_buckets=8), 0)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
