@@ -1,0 +1,181 @@
+"""Mapping compiler parity: the reference's golden end-to-end test
+(tests/test_pipeline.py:6-16 — 151 merged PublicBody entities from the
+committed CSV, golden file eu_authorities.ftm.json) replayed through
+the Spark compiler.  Skips if the reference checkout is absent."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.plans.mapping import (
+    QueryMapping,
+    compile_statements,
+    entities_from_statements,
+)
+
+REF = pathlib.Path("/root/reference/tests/fixtures")
+
+EU_MAPPING = {
+    # mirror of /root/reference/tests/fixtures/eu_authorities/config.yml:26-47
+    "entities": {
+        "body": {
+            "schema": "PublicBody",
+            "key": "URL name",
+            "properties": {
+                "name": {"column": "Name"},
+                "weakAlias": {"column": "Short name"},
+                "description": {"column": "Notes"},
+                "keywords": {"column": "Tags", "split": " "},
+                "legalForm": {"column": "Tags", "split": " "},
+                "website": {"column": "Home page", "type": "url"},
+                "jurisdiction": {"literal": "eu"},
+                # the golden output was produced with the fixture's custom
+                # transform which stamps a sourceUrl
+                # (tests/fixtures/eu_authorities/transform.py:21)
+                "sourceUrl": {
+                    "template": "https://www.asktheeu.org/en/body/{{URL name}}",
+                    "type": "url",
+                },
+            },
+        }
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def golden():
+    path = REF / "eu_authorities.ftm.json"
+    if not path.exists():
+        pytest.skip("reference fixtures not available")
+    return {
+        e["id"]: e for e in (json.loads(l) for l in path.read_text().splitlines())
+    }
+
+
+def test_eu_authorities_golden_parity(spark, golden):
+    records = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(str(REF / "all-authorities.csv"))
+    )
+    stmts = compile_statements(
+        records,
+        QueryMapping.from_dict(EU_MAPPING),
+        dataset="eu_authorities",
+        prefix="eu-authorities",
+    )
+    entities = entities_from_statements(stmts).collect()
+    assert len(entities) == len(golden) == 151
+    assert {e["id"] for e in entities} == set(golden)
+    for e in entities:
+        g = golden[e["id"]]
+        assert e["schema"] == g["schema"] == "PublicBody"
+        assert e["datasets"] == ["eu_authorities"]
+        for prop, vals in e["properties"].items():
+            gvals = g["properties"].get(prop, [])
+            if prop == "description":
+                # golden descriptions were html2text-converted (the
+                # fixture's custom transform, transform.py:20 — lib not
+                # in this sandbox); assert presence only
+                assert bool(vals) == bool(gvals)
+                continue
+            # FtM re-wraps long text values at 75 cols on storage (a
+            # serialization quirk, not semantics) — compare with
+            # whitespace folded
+            fold = lambda xs: {" ".join(v.split()) for v in xs}  # noqa: E731
+            assert fold(vals) == fold(gvals), (e["id"], prop, vals, gvals)
+        # no golden property missing from ours
+        assert set(e["properties"]) == set(g["properties"])
+
+
+def test_filters_and_required(spark):
+    rows = [
+        {"Name": "Keep", "Type": "org", "Website": "https://x"},
+        {"Name": "DropType", "Type": "person", "Website": "https://y"},
+        {"Name": None, "Type": "org", "Website": "https://z"},  # required name empty
+    ]
+    df = spark.createDataFrame(rows)
+    mapping = QueryMapping.from_dict(
+        {
+            "filters": {"Type": "org"},
+            "entities": {
+                "org": {
+                    "schema": "Organization",
+                    "key": "Name",
+                    "properties": {
+                        "name": {"column": "Name", "required": True},
+                        "website": {"column": "Website"},
+                    },
+                }
+            },
+        }
+    )
+    stmts = compile_statements(df, mapping, dataset="d", prefix="p")
+    ents = entities_from_statements(stmts).collect()
+    assert len(ents) == 1 and ents[0]["id"] == "p-keep"
+
+
+def test_template_join_and_multicolumn(spark):
+    df = spark.createDataFrame(
+        [{"First": "Ada", "Last": "Lovelace", "S1": "tech", "S2": "math"}]
+    )
+    mapping = QueryMapping.from_dict(
+        {
+            "entities": {
+                "p": {
+                    "schema": "Person",
+                    "keys": ["First", "Last"],
+                    "properties": {
+                        "name": {"template": "{{First}} {{Last}}"},
+                        "alias": {"columns": ["First", "Last"], "join": " "},
+                        "sector": {"columns": ["S1", "S2"]},
+                    },
+                }
+            }
+        }
+    )
+    ents = entities_from_statements(
+        compile_statements(df, mapping, dataset="d", prefix="x")
+    ).collect()
+    assert len(ents) == 1
+    e = ents[0]
+    assert e["id"] == "x-ada-lovelace"
+    assert e["properties"]["name"] == ["Ada Lovelace"]
+    assert e["properties"]["alias"] == ["Ada Lovelace"]
+    assert sorted(e["properties"]["sector"]) == ["math", "tech"]
+
+
+def test_fragment_merge_unions_values(spark):
+    # two records, same key, different tags → one entity, unioned values
+    df = spark.createDataFrame(
+        [
+            {"Key": "k1", "Name": "A", "Tags": "x y"},
+            {"Key": "k1", "Name": "A2", "Tags": "y z"},
+        ]
+    )
+    mapping = QueryMapping.from_dict(
+        {
+            "entities": {
+                "e": {
+                    "schema": "PublicBody",
+                    "key": "Key",
+                    "properties": {
+                        "name": {"column": "Name"},
+                        "keywords": {"column": "Tags", "split": " "},
+                    },
+                }
+            }
+        }
+    )
+    ents = entities_from_statements(
+        compile_statements(df, mapping, dataset="d", prefix="p")
+    ).collect()
+    assert len(ents) == 1
+    e = ents[0]
+    assert sorted(e["properties"]["name"]) == ["A", "A2"]
+    assert sorted(e["properties"]["keywords"]) == ["x", "y", "z"]
