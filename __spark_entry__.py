@@ -1,38 +1,577 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC replay (LWW final state) at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (sorted-column
+value-hash comparison ⇒ every computed column is aliased identically
+on both sides).  Queries with no SQL-expressible oracle (LSH families,
+the lake-engine replay) are intentionally absent from ``oracle_sql``
+→ the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay over the events stream at sf0.001 —
+    last-writer-wins final state with 'error' treated as delete."""
+    return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+# Each function: (spark, sf_dir) -> DataFrame.  Scale notes inline.
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (SURVEY §2.4 A1-A3): scan-filter-agg, one shuffle
+    with partial aggregation; filter + column pruning pushed to parquet."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5/P9: predicate + projection + computed column — no shuffle,
+    predicate reaches the parquet scan (PushedFilters)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "click") & (F.col("value") > 10.0)).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 2, 2).alias("value_x2"),
+    )
+
+
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: counts + distinct users per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (the engine's core primitive): last row per key via
+    max_by hash-agg — map-side combine, no sort, no window."""
+    e = _t(spark, sf_dir, "events")
+    best = F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select(
+            "user_id",
+            F.col("b.event_id").alias("last_event_id"),
+            F.col("b.event_type").alias("last_event_type"),
+            F.col("b.value").alias("last_value"),
+        )
+    )
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule CDC semantics on the events table: key=user_id,
+    seq=event_id, op: 'error'→delete else upsert.  Final live state =
+    LWW then drop deleted keys."""
+    e = _t(spark, sf_dir, "events")
+    best = F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(best.alias("b"))
+        .filter(F.col("b.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("b.event_id").alias("last_event_id"),
+            F.col("b.event_type").alias("last_event_type"),
+            F.col("b.value").alias("last_value"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-series: fact⋈dim⋈dim.  customer and nation are small dims —
+    broadcast both; zero shuffle joins, one agg shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of heterogeneous sources with origin tag."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: split+explode+agg over documents (frequency ≥ 100)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14: JSON prop extraction + agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: content-hash ids + slugs (md5 here — DuckDB lacks sha1;
+    the library version uses sha1, tests/test_functions.py)."""
+    c = _t(spark, sf_dir, "customer")
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("c_name")), r"[^a-z0-9]+", "-"), r"^-+|-+$", ""
+    )
+    cid = F.concat_ws(
+        "-",
+        F.lit("cust"),
+        F.md5(F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_name"))),
+    )
+    return c.select(F.col("c_custkey").alias("custkey"), cid.alias("id"), slug.alias("slug"))
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running sum in event order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; sessions and
+    events per user.  lag + conditional cumsum windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps load as TIMESTAMP_NTZ in Spark 4 — no
+    # direct long cast; go through epoch seconds via LTZ (session=UTC)
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select("user_id", "event_id", "ts", new_sess.alias("new_sess"))
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.textstats import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_knn(emb, queries, k=3)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from investigraph_etl_spark.operators.similarity import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_knn(emb, queries, dim=64, k=3)
+
+
+def q_mapping_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative mapping compiler (P1-P8) over the customer table:
+    records → statements (id, schema, prop, value)."""
+    from investigraph_etl_spark.plans.mapping import (
+        QueryMapping,
+        compile_statements,
+    )
+
+    mapping = QueryMapping.from_dict(
+        {
+            "entities": {
+                "c": {
+                    "schema": "LegalEntity",
+                    "key": "c_name",
+                    "properties": {
+                        "name": {"column": "c_name"},
+                        "sector": {"column": "c_mktsegment"},
+                        "jurisdiction": {"literal": "xx"},
+                    },
+                }
+            }
+        }
+    )
+    return compile_statements(
+        _t(spark, sf_dir, "customer"), mapping, dataset="tpch", prefix="cust"
+    )
+
+
+def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real engine end-to-end: synthesize a deterministic changelog,
+    stream it through normalize→LWW→lake MERGE, return the final table.
+    No SQL oracle (the changelog isn't a registered view); pytest
+    covers equivalence vs the pandas oracle (tests/test_lake_merge.py)."""
+    import tempfile
+
+    from investigraph_etl_spark.changelog import write_changelog
+    from investigraph_etl_spark.sources.lake import HashLakeTable
+    from investigraph_etl_spark.streaming.tailer import (
+        change_schema,
+        replay_batch,
+        target_schema,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_")
+    write_changelog(f"{tmp}/log", 5000, chunk_size=2500, seed=42, n_docs=400)
+    lake = HashLakeTable.create(spark, f"{tmp}/lake", target_schema(), num_buckets=8)
+    events = spark.read.schema(change_schema()).parquet(f"{tmp}/log")
+    replay_batch(events, lake)
+    return lake.read()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "filter_project": q_filter_project,
+        "groupby_count": q_groupby_count,
+        "lww_latest_event": q_lww_latest_event,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "dedup_exact": q_dedup_exact,
+        "revenue_by_nation": q_revenue_by_nation,
+        "union_parties": q_union_parties,
+        "wordcount": q_wordcount,
+        "json_extract": q_json_extract,
+        "deterministic_ids": q_deterministic_ids,
+        "window_running_total": q_window_running_total,
+        "sessionize": q_sessionize,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_counts": q_token_counts,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_bruteforce": q_knn_bruteforce,
+        "mapping_entities": q_mapping_entities,
+        # rows-only (no SQL-expressible oracle):
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_knn": q_lsh_knn,
+        "cdc_replay_lake": q_cdc_replay_lake,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT event_id, user_id, ROUND(value * 2, 2) AS value_x2
+            FROM events WHERE event_type = 'click' AND value > 10.0
+        """,
+        "groupby_count": """
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "lww_latest_event": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_replay_final_state": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events) WHERE rn = 1 AND event_type != 'error'
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "union_parties": """
+            SELECT c_name AS name, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        """,
+        "wordcount": """
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+                  FROM documents)
+            WHERE word != ''
+            GROUP BY word HAVING COUNT(*) >= 100
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, 'k') AS INT)), 4) AS avg_k,
+                   MAX(CAST(json_extract_string(props, 'k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "deterministic_ids": """
+            SELECT c_custkey AS custkey,
+                   'cust-' || md5(CAST(c_custkey AS VARCHAR) || '|' || c_name) AS id,
+                   regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+                                  '^-+|-+$', '', 'g') AS slug
+            FROM customer
+        """,
+        "window_running_total": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_chars, len(ws) AS n_words,
+                     CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+                     CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+                     len(list_filter(ws, w -> list_contains(
+                         ['the','and','of','to','a','in','is','that'], lower(w)))) AS stop_hits
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_words,
+                   ROUND(mwl, 4) AS mean_word_len,
+                   ROUND(n_punct / n_chars, 4) AS punct_ratio,
+                   ROUND(CAST(stop_hits AS DOUBLE) / n_words, 4) AS stopword_ratio,
+                   (n_words >= 5 AND mwl >= 2 AND mwl <= 12
+                    AND n_punct / n_chars <= 0.2) AS keep
+            FROM m
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''),
+                       w -> lower(w))) AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                len(list_intersect(ws, ['the','and','of','to','a','in','is','that'])) AS s_en,
+                len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+                len(list_intersect(ws, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+                len(list_intersect(ws, ['el','la','los','y','es','un','una','que'])) AS s_es
+              FROM t
+            )
+            -- winner: max score, ties -> lexicographically first lang,
+            -- all-zero -> 'und' (mirrors the engine's ordered fold)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   GREATEST(s_de, s_en, s_es, s_fr) AS lang_score
+            FROM s
+        """,
+        "doc_fingerprint": """
+            WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''),
+                       w -> lower(w))) AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(ws), ' ')) AS fingerprint,
+                   len(ws) AS n_distinct_tokens
+            FROM t
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''))
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                       CASE WHEN len(ws) >= 3 THEN
+                         list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+                       ELSE [array_to_string(ws, ' ')] END) AS shingles
+              FROM (SELECT doc_id, list_transform(
+                        list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''),
+                        w -> lower(w)) AS ws
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
+              SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(d.embedding AS DOUBLE[])) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(d.embedding AS DOUBLE[])) DESC,
+                                d.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings d ON q.vec_id != d.vec_id
+              WHERE q.vec_id < 20
+            ) WHERE rank <= 3
+        """,
+        "mapping_entities": """
+            WITH base AS (SELECT c_name,
+                  'cust-' || regexp_replace(regexp_replace(lower(c_name),
+                      '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS id
+              FROM customer)
+            SELECT id, 'LegalEntity' AS "schema", 'name' AS prop,
+                   c_name AS value, 'tpch' AS dataset
+            FROM base
+            UNION ALL
+            SELECT b.id, 'LegalEntity', 'sector', c.c_mktsegment, 'tpch'
+            FROM customer c JOIN base b ON b.c_name = c.c_name
+            UNION ALL
+            SELECT id, 'LegalEntity', 'jurisdiction', 'xx', 'tpch' FROM base
+        """,
+    }

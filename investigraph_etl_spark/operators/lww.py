@@ -6,21 +6,29 @@ Reference semantics: in-task fragment merge keyed by entity id —
 form: reduce each (micro)batch to ≤1 row per ``doc_id``, keeping the
 row with the greatest ``event_sequence``.
 
-Physical strategy — ``groupBy(key).agg(max_by(struct(*), seq))`` and
-NOT a ``row_number()`` window:
+Physical strategy — measured, not guessed (see BENCH.md):
 
-* hash aggregate with **map-side partial aggregation**: each input
-  partition first reduces locally to one row per key, so a hot key
-  shuffles ~num_input_partitions rows instead of all its duplicates —
-  the built-in cure for doc_id hot-key skew at this stage;
-* a ranking window would shuffle *every* row to its key's partition and
-  sort it there: strictly more data movement and a sort we don't need.
+* ``max_by(struct(payload…))`` and ranking windows both force
+  **SortAggregate / Sort** because the agg buffer (or sort row)
+  carries the variable-length token arrays — at 2M events that plan
+  *inversely* scaled with cores (sorting MBs of array payload per
+  task, twice).
+* The winning plan is **narrow-winner + semi-join**:
+    1. ``winners = groupBy(key).agg(max(seq))`` — fixed-width buffer →
+       whole-stage-codegen HashAggregate with map-side partial agg;
+       column pruning means this branch never reads the payload.
+    2. ``events ⋉ winners on (key, seq)`` — a semi join that AQE
+       converts to **broadcast** when the winner set is small (the
+       common micro-batch case): the payload then has ZERO shuffles
+       and ZERO sorts end-to-end.
+  At 10^10-event scale the winner set of a micro-batch is bounded by
+  its distinct keys; if it outgrows the broadcast threshold AQE falls
+  back to a shuffled hash join — still sort-free.
 
-For pathological skew (one key ≫ everything, north-rule knob) an
-explicit two-phase salted variant is provided: salt → per-(key,salt)
-partial LWW → unsalt → final LWW.  With max_by's map-side combine the
-two-phase path is rarely needed, but it bounds the reduce fan-in per
-task deterministically.
+``seq`` must be unique per key within ``df`` (changelog contract:
+``event_sequence`` is globally unique) or duplicates survive; the lake
+merge adds an explicit tiebreak column for its target∪batch union
+(sources/lake.py).
 """
 
 from __future__ import annotations
@@ -35,27 +43,46 @@ def lww_dedup(
     seq: str = "event_sequence",
     *,
     salt_buckets: int = 0,
+    extra_keys: tuple[str, ...] = (),
+    winners_strategy: str = "broadcast",
 ) -> DataFrame:
-    """Keep, per ``key``, only the row with the max ``seq``.
+    """Keep, per ``key``, only the row with the max ``(seq, *extra_keys)``.
 
-    One shuffle (hash-partition by key) with map-side combine; two
-    shuffles when ``salt_buckets > 0`` (explicit skew mitigation).
-    Ties on ``seq`` are impossible in a well-formed changelog
-    (``event_sequence`` is globally unique); ``max_by`` would pick an
-    arbitrary one otherwise.
+    ``salt_buckets > 0`` adds an explicit two-phase reduce for
+    pathological single-key skew (north-rule knob): phase 1 reduces
+    each (key, salt) slice, phase 2 reduces the ≤``salt_buckets``
+    survivors.  Both phases stay narrow (no payload).
+
+    ``winners_strategy`` picks the semi-join physical form:
+
+    * ``"broadcast"`` (default) — the winner set of a micro-batch is its
+      distinct-key count × ~24B; even a 10M-key batch broadcasts in
+      ~0.25GB.  The payload side then has ZERO shuffle and ZERO sort.
+      Left to AQE, a winner set past ``autoBroadcastJoinThreshold``
+      (10MB) silently degrades to a sort-merge join that shuffles AND
+      SORTS the full payload — measured 10× slower with 30× the GC
+      (BENCH.md) — so the strategy is explicit, not inferred.
+    * ``"shuffle_hash"`` — for batches whose key set genuinely cannot
+      broadcast: one payload shuffle, hash probe, still no sort.
+    * ``"auto"`` — defer to Catalyst/AQE.
     """
-    payload = [c for c in df.columns if c != key]
-    packed = F.max_by(F.struct(*payload), F.col(seq)).alias("_best")
+    order_cols = [seq, *extra_keys]
+    pick = F.max(F.struct(*order_cols)).alias("_w")
 
+    narrow = df.select(key, *order_cols)
     if salt_buckets > 0:
-        # phase 1: spread each key over `salt_buckets` reducers; the salt
-        # is a hash of the sequence → deterministic, uniform per event
-        salted = df.withColumn(
+        salted = narrow.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(seq)), F.lit(salt_buckets))
         )
-        partial = salted.groupBy(key, "_salt").agg(packed)
-        # phase 2: ≤ salt_buckets rows per key remain — trivial final reduce
-        final = partial.select(key, F.col("_best.*")).groupBy(key).agg(packed)
+        partial = salted.groupBy(key, "_salt").agg(pick)
+        winners = (
+            partial.select(key, "_w.*").groupBy(key).agg(pick).select(key, "_w.*")
+        )
     else:
-        final = df.groupBy(key).agg(packed)
-    return final.select(key, "_best.*")
+        winners = narrow.groupBy(key).agg(pick).select(key, "_w.*")
+
+    if winners_strategy == "broadcast":
+        winners = F.broadcast(winners)
+    elif winners_strategy == "shuffle_hash":
+        winners = winners.hint("shuffle_hash")
+    return df.join(winners, on=[key, *order_cols], how="left_semi")

@@ -1,0 +1,128 @@
+"""Text analysis operators for training-data pipelines.
+
+All native column expressions (whole-stage codegen; no Python in the
+hot path): tokenization, quality scoring, language-ID heuristic,
+document fingerprinting.  Each has a ``queries()`` entry with a DuckDB
+oracle (driver contract).
+
+Scale: every operator here is a narrow projection — zero shuffles,
+pushes column pruning to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker-word profiles for the n-gram/stopword vote.
+# Deliberately public-knowledge common words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; empty-safe."""
+    return F.filter(
+        F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap n_tok proxy)."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish estimate: word-piece regex (runs of letters, digits,
+    single punctuation) — a deterministic stand-in for a real BPE."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, token count, mean word
+    length, punctuation ratio, stopword ratio, and a keep/drop flag
+    (Gopher-rule-shaped thresholds)."""
+    t = F.col(text_col)
+    ws = words(t)
+    n_words = F.size(ws)
+    n_chars = F.length(t)
+    mean_wlen = (
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / n_words
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(ws, lambda w: F.lower(w).isin(STOPWORDS))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / n_words, 4).alias("stopword_ratio"),
+        (
+            (n_words >= 5)
+            & (mean_wlen >= 2)
+            & (mean_wlen <= 12)
+            & ((n_punct.cast("double") / n_chars) <= 0.2)
+        ).alias("keep"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language profile."""
+    ws = F.transform(words(text), lambda w: F.lower(w))
+    return {
+        lang: F.size(F.array_intersect(F.array_distinct(ws), F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: vote by distinct marker-word hits; ties →
+    lexicographically smallest language (deterministic); no hits →
+    'und'.  Implemented as a fold over the (sorted) language profiles —
+    a strict-greater comparison keeps the first language on ties."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[
+            F.struct(score.cast("int").alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    init = F.struct(F.lit(0).cast("int").alias("score"), F.lit("und").alias("lang"))
+    best = F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
+    )
+    return df.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the sorted distinct lowercase token
+    set — the document-level analog of the reference's name
+    fingerprint (/root/reference/investigraph/model/context.py:231-249);
+    word-order- and duplication-insensitive."""
+    ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    canon = F.array_join(F.array_sort(F.array_distinct(ws)), " ")
+    return df.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+    )

@@ -194,8 +194,16 @@ class HashLakeTable:
         stream_id: str = "default",
         seq: str = "event_sequence",
         op: str = "op",
+        salt_buckets: int = 0,
+        winners_strategy: str = "broadcast",
     ) -> dict:
-        """Apply one LWW-reduced change batch (≤1 row per key).
+        """Apply one change batch (raw or pre-reduced — LWW runs here).
+
+        In-batch dedup and the target-vs-batch merge are ONE pass:
+        ``LWW(LWW(batch) ∪ target) ≡ LWW(batch ∪ target)``, so folding
+        them halves the winner aggregations and broadcast builds
+        (measured — BENCH.md).  ``salt_buckets``/``winners_strategy``
+        forward to :func:`lww_dedup`.
 
         Exactly-once: Structured Streaming batch ids are monotonic and a
         retried batch re-runs with the same id, so a batch with
@@ -241,27 +249,43 @@ class HashLakeTable:
         bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
         changes = changes.withColumn("_bucket", bucket_expr)
 
-        # 3. prune: only buckets the batch touches are read & rewritten
+        # 3. prune: only buckets the batch touches are read & rewritten.
+        # This extra action runs only a scan of the key column + a
+        # distinct (≤ num_buckets rows out) — column pruning reaches the
+        # source, and no join/LWW is in this plan branch.
         touched = sorted(
             r["_bucket"] for r in changes.select("_bucket").distinct().collect()
         )
         current = self.read_raw(touched).withColumn("_bucket", bucket_expr)
 
-        # 4. LWW over target ∪ batch — late guard for free (_seq max wins)
-        non_key = [c for c in current.columns if c != self.key]
-        merged = (
-            current.unionByName(changes)
-            .groupBy(self.key)
-            .agg(F.max_by(F.struct(*non_key), F.col("_seq")).alias("_best"))
-            .select(self.key, "_best.*")
+        # 4. single LWW over target ∪ batch: dedups within the batch AND
+        # applies the _seq-max late-event guard against the target in one
+        # winner-agg + semi-join (payload never sorts, never shuffles —
+        # operators/lww.py).  _pref breaks target-vs-batch ties (possible
+        # only when an already-applied event replays past the commit-log
+        # check — content identical, keep the batch side).
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
+        unioned = current.withColumn("_pref", F.lit(0)).unionByName(
+            changes.withColumn("_pref", F.lit(1))
         )
+        merged = lww_dedup(
+            unioned,
+            self.key,
+            "_seq",
+            extra_keys=("_pref",),
+            salt_buckets=salt_buckets,
+            winners_strategy=winners_strategy,
+        ).drop("_pref")
 
         # 5. write one file set for the touched buckets
         out_version = self.version + 1
         out_dir = self.root / "data" / f"c{out_version:06d}"
+        # one shuffle to co-locate buckets (one output file per bucket);
+        # NO sort — sorting rows that carry token arrays measurably
+        # inverse-scales (BENCH.md)
         (
             merged.repartition(max(len(touched), 1), "_bucket")
-            .sortWithinPartitions(self.key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(str(out_dir))

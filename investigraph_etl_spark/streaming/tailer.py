@@ -36,7 +36,6 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from investigraph_etl_spark.operators.lww import lww_dedup
 from investigraph_etl_spark.operators.normalize import normalize_events
 
 
@@ -68,19 +67,26 @@ def target_schema(with_lang: bool = False) -> StructType:
 
 
 def prepare_batch(events: DataFrame, *, salt_buckets: int = 0) -> DataFrame:
-    """normalize → LWW-reduce one (micro)batch to ≤1 change row per key.
+    """Normalize one (micro)batch for merge (narrow, no shuffle).
 
-    Narrow normalization + one keyed shuffle with map-side combine
-    (two with explicit salting) — the whole pre-merge pipeline.
+    In-batch LWW dedup happens inside ``lake.merge`` — folded with the
+    target-vs-batch merge into a single winner-agg pass
+    (``LWW(LWW(batch) ∪ target) ≡ LWW(batch ∪ target)``).  Call
+    :func:`investigraph_etl_spark.operators.lww.lww_dedup` directly if a
+    standalone reduced batch is needed (e.g. feeding a real Iceberg
+    MERGE, whose cardinality check requires ≤1 source row per key).
     ``event_time`` is stream metadata (lag metrics), not table payload.
+    ``salt_buckets`` is accepted for signature stability and forwarded
+    by :func:`replay_batch`.
     """
-    cleaned = normalize_events(events).drop("event_time")
-    return lww_dedup(cleaned, "doc_id", "event_sequence", salt_buckets=salt_buckets)
+    return normalize_events(events).drop("event_time")
 
 
 def replay_batch(events: DataFrame, lake, *, salt_buckets: int = 0, batch_id: int = 0) -> dict:
     """Batch-mode full replay: the whole changelog as one merge."""
-    return lake.merge(prepare_batch(events, salt_buckets=salt_buckets), batch_id)
+    return lake.merge(
+        prepare_batch(events), batch_id, salt_buckets=salt_buckets
+    )
 
 
 class MetricsLog:
@@ -130,8 +136,8 @@ def tail_changelog(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        reduced = prepare_batch(batch, salt_buckets=salt_buckets)
-        result = lake.merge(reduced, batch_id)
+        reduced = prepare_batch(batch)
+        result = lake.merge(reduced, batch_id, salt_buckets=salt_buckets)
         dt = time.monotonic() - t0
         n_in = batch.count()
         metrics.write(

@@ -1,0 +1,153 @@
+"""Dedup & similarity operator semantics: exact groups, Jaccard math,
+MinHash-LSH recall vs the exact baseline, SimHash hamming, KNN
+correctness vs a numpy oracle, LSH-KNN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from investigraph_etl_spark.operators.similarity import brute_force_knn, lsh_knn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "spark engines process completely different text layouts"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2 identical, canonical = min id
+    assert out[1] == 1 and out[3] == 1
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    row = df.select(word_shingles(F.col("text"), 3).alias("s")).first()
+    assert row["s"] == ["only two"]
+
+
+def test_ngram_jaccard_math(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    # identical docs → jaccard 1.0
+    assert pairs[(0, 2)] == 1.0
+    # docs 0/1 share 6 of 7+7 distinct trigrams: J = 6/8
+    assert abs(pairs[(0, 1)] - 0.75) < 1e-9
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, n=3, num_hashes=32, bands=16).collect()
+    }
+    assert (0, 2) in cand  # exact dup always collides in every band
+    assert (0, 1) in cand  # 0.75-jaccard pair should collide at r=2
+
+
+def test_minhash_recall_on_synthetic(spark):
+    # recall vs exact jaccard on a bigger synthetic set
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [rng.choices(vocab, k=30) for _ in range(40)]
+    rows, rid = [], 0
+    for b in base:
+        rows.append((rid, " ".join(b))); rid += 1
+        mut = list(b); mut[rng.randrange(30)] = rng.choice(vocab)
+        rows.append((rid, " ".join(mut))); rid += 1  # high-jaccard partner
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.6).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, n=3, num_hashes=64, bands=32).collect()
+    }
+    assert exact, "synthetic set must contain near-dup pairs"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_properties(spark, docs):
+    out = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[0] == out[2]  # identical text → identical simhash
+    ham01 = bin((out[0] ^ out[1]) & (2**64 - 1)).count("1")
+    ham03 = bin((out[0] ^ out[3]) & (2**64 - 1)).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 2)] == 0
+
+
+def _np_knn(vecs: dict[int, np.ndarray], qids: list[int], k: int):
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids]).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = mat @ (vecs[q] / np.linalg.norm(vecs[q]))
+        order = sorted(
+            (i for i in ids if i != q), key=lambda i: (-sims[ids.index(i)], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(60)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), {
+        i: np.array(v) for i, v in rows
+    }
+
+
+def test_brute_force_knn_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = brute_force_knn(df, df.filter(F.col("vec_id") < 5), k=3).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _np_knn(vecs, list(range(5)), 3)
+    assert by_q == expected
+
+
+def test_lsh_knn_recall(spark, emb):
+    df, vecs = emb
+    exact = _np_knn(vecs, list(range(10)), 3)
+    got = lsh_knn(
+        df, df.filter(F.col("vec_id") < 10), dim=16, k=3, n_bits=6, n_tables=8
+    ).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(set(exact[q]) & by_q.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * 3)
+    assert recall >= 0.7, f"LSH-KNN recall too low: {recall}"

@@ -1,0 +1,102 @@
+"""Text-analysis operators + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_feature_decoder,
+    frame_sample_plan,
+    real_decoder_stub,
+)
+from investigraph_etl_spark.operators.textstats import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_stats,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  Hello,  world! 42 ")], ["doc_id", "text"])
+    row = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 3
+    # pieces: hello , world ! 42  → 5
+    assert row["bpe"] == 5
+
+
+def test_quality_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat quietly today"), (2, "!!! ???")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_stats(df).collect()}
+    assert out[1]["n_words"] == 8 and out[1]["keep"]
+    assert not out[2]["keep"]
+    assert out[1]["stopword_ratio"] == pytest.approx(2 / 8, abs=1e-4)
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der hund und die katze ist da"),
+            (3, "xyzzy qwerty asdf"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma  beta alpha alpha")],
+        ["doc_id", "text"],
+    )
+    fps = [r["fingerprint"] for r in doc_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes-1"), (32, 24, None, "png")),
+        (2, "video", bytearray(b"vidbytes-2"), (640, 480, 3500, "h264")),
+        (3, "audio", None, (None, None, 2000, "flac")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_with_fake_decoder(spark, media):
+    out = {r["media_id"]: r for r in extract_features(media, decoder=fake_feature_decoder).collect()}
+    assert len(out) == 3
+    assert len(out[1]["feature"]) == 8
+    assert out[1]["n_bytes"] == 10 and out[3]["n_bytes"] == 0
+    # deterministic: same payload → same features
+    again = extract_features(media, decoder=fake_feature_decoder).collect()
+    assert {r["media_id"]: list(r["feature"]) for r in again} == {
+        k: list(v["feature"]) for k, v in out.items()
+    }
+
+
+def test_real_decoder_is_stubbed(spark, media):
+    with pytest.raises(Exception):  # NotImplementedError crosses Py4J as PythonException
+        extract_features(media).collect()
+    with pytest.raises(NotImplementedError):
+        real_decoder_stub(pd.Series([b"x"]))
+
+
+def test_frame_sample_plan(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    got = [(r["media_id"], r["frame_ts_ms"]) for r in frames]
+    assert got == [(2, 0), (2, 1000), (2, 2000)]

@@ -1,0 +1,107 @@
+"""Local emulation of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+sf0.01, compare row count, sorted column names, and order-insensitive
+values.  Usage: python tools/compare.py [sf_dir] [query ...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import numpy as np
+
+    if v is None or v is pd.NA:
+        return ""
+    if isinstance(v, float) and v != v:
+        return ""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return str(int(f)) if f == int(f) else f"{f:.6f}".rstrip("0")
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from investigraph_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {e}")
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
+            if len(got) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        if sorted(got.columns) != sorted(exp.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            continue
+        cg, ce = canon(got), canon(exp)
+        if cg != ce:
+            failures.append(name)
+            bad = next(i for i, (a, b) in enumerate(zip(cg, ce)) if a != b)
+            print(f"FAIL {name}: values differ at sorted row {bad}:")
+            print(f"  spark : {cg[bad]}")
+            print(f"  duckdb: {ce[bad]}")
+            continue
+        print(f"ok   {name}: {len(got)} rows match ({dt:.1f}s)")
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
