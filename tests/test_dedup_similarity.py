@@ -122,8 +122,14 @@ def _np_knn(vecs: dict[int, np.ndarray], qids: list[int], k: int):
 
 @pytest.fixture(scope="module")
 def emb(spark):
+    # clustered vectors: 6 centers + noise — realistic near-dup shape
+    # (iid gaussians have no neighbor structure for LSH to find)
     rng = np.random.default_rng(11)
-    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(60)]
+    centers = rng.standard_normal((6, 16)) * 3
+    rows = [
+        (i, (centers[i % 6] + rng.standard_normal(16) * 0.4).astype("float32").tolist())
+        for i in range(60)
+    ]
     return spark.createDataFrame(rows, ["vec_id", "embedding"]), {
         i: np.array(v) for i, v in rows
     }
