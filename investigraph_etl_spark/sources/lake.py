@@ -259,16 +259,24 @@ class HashLakeTable:
         current = self.read_raw(touched).withColumn("_bucket", bucket_expr)
 
         # 4. single LWW over target ∪ batch: dedups within the batch AND
-        # applies the _seq-max late-event guard against the target in one
-        # winner-agg + semi-join (payload never sorts, never shuffles —
-        # operators/lww.py).  _pref breaks target-vs-batch ties (possible
-        # only when an already-applied event replays past the commit-log
-        # check — content identical, keep the batch side).
-        from investigraph_etl_spark.operators.lww import lww_dedup
-
+        # applies the _seq-max late-event guard against the target
+        # (late/out-of-order events lose; a delete tombstone cannot be
+        # resurrected by an older update).  _pref breaks target-vs-batch
+        # ties (possible only when an already-applied event replays past
+        # the commit-log check — content identical, keep the batch side).
         unioned = current.withColumn("_pref", F.lit(0)).unionByName(
             changes.withColumn("_pref", F.lit(1))
         )
+
+        # (A co-partitioned exchange-reuse variant — shuffle payload once
+        # by bucket, winner-agg and semi-join riding that partitioning —
+        # was prototyped and measured WORSE: Catalyst pushes the semi
+        # join through the union, duplicating the winner subplan, and a
+        # struct-max agg degrades to SortAggregate.  Broadcast keeps the
+        # payload shuffle count at one — the write's own — with a small
+        # serial broadcast-build cost bounded by the batch's key count.)
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
         merged = lww_dedup(
             unioned,
             self.key,
@@ -277,16 +285,16 @@ class HashLakeTable:
             salt_buckets=salt_buckets,
             winners_strategy=winners_strategy,
         ).drop("_pref")
+        merged = merged.repartition(max(len(touched), 1), "_bucket")
 
-        # 5. write one file set for the touched buckets
+        # 5. write one file set for the touched buckets — dynamic
+        # partitionBy on _bucket (the data is already clustered by it);
+        # NO global sort — sorting rows that carry token arrays
+        # measurably inverse-scales (BENCH.md)
         out_version = self.version + 1
         out_dir = self.root / "data" / f"c{out_version:06d}"
-        # one shuffle to co-locate buckets (one output file per bucket);
-        # NO sort — sorting rows that carry token arrays measurably
-        # inverse-scales (BENCH.md)
         (
-            merged.repartition(max(len(touched), 1), "_bucket")
-            .write.partitionBy("_bucket")
+            merged.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(str(out_dir))
         )

@@ -1,8 +1,13 @@
-"""Measure one CDC replay at a given core count in a fresh process.
+"""Measure CDC replay throughput at a given core count, isolated in a
+fresh process (fresh JVM — JIT state cannot leak between core counts).
 
-Usage: python tools/replay_one.py <cores> <log_dir> <work_dir> <n_events>
-Prints one JSON line.  A warmup replay (5% of events) runs first so JIT
-compilation doesn't contaminate the measurement.
+Usage: python tools/replay_one.py <cores> <log_dir> <work_dir> <n_events> [reps]
+Prints one JSON line with all rep times and the min (the sandbox host
+shows multi-second scheduling stalls at random moments — min-of-N is
+the sustained-capability estimate; all samples are reported).
+
+A warmup replay (100k events) runs first so JIT compilation does not
+contaminate rep 1.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ from investigraph_etl_spark.session import get_spark  # noqa: E402
 from investigraph_etl_spark.sources.lake import HashLakeTable  # noqa: E402
 from investigraph_etl_spark.streaming.tailer import (  # noqa: E402
     change_schema,
-    replay_batch,
+    prepare_batch,
     target_schema,
 )
 
@@ -31,6 +36,7 @@ def main() -> None:
         sys.argv[3],
         int(sys.argv[4]),
     )
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     spark = get_spark(
         f"replay{cores}",
         master=f"local[{cores}]",
@@ -38,32 +44,36 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
 
-    # --- warmup: exercise the full code path on a small log
+    # --- warmup: full code path, small log
     warm_log = f"{work}/warm_log"
     write_changelog(warm_log, 100_000, chunk_size=25_000, seed=7, n_docs=10_000)
-    warm_lake_dir = f"{work}/warm_lake_{cores}"
-    shutil.rmtree(warm_lake_dir, ignore_errors=True)
-    warm_lake = HashLakeTable.create(
-        spark, warm_lake_dir, target_schema(), num_buckets=32
+    warm_dir = f"{work}/warm_lake_{cores}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_lake = HashLakeTable.create(spark, warm_dir, target_schema(), num_buckets=32)
+    warm_lake.merge(
+        prepare_batch(spark.read.schema(change_schema()).parquet(warm_log)), 0
     )
-    replay_batch(spark.read.schema(change_schema()).parquet(warm_log), warm_lake)
 
-    # --- measured replay
-    lake_dir = f"{work}/lake_{cores}"
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    lake = HashLakeTable.create(spark, lake_dir, target_schema(), num_buckets=32)
     events = spark.read.schema(change_schema()).parquet(log_dir)
-    t0 = time.monotonic()
-    replay_batch(events, lake)
-    dt = time.monotonic() - t0
-    n_final = lake.read().count()
+    times, final_rows = [], None
+    for i in range(reps):
+        d = f"{work}/lake_{cores}_{i}"
+        shutil.rmtree(d, ignore_errors=True)
+        lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=32)
+        t0 = time.monotonic()
+        lake.merge(prepare_batch(events), 0)
+        times.append(round(time.monotonic() - t0, 2))
+        if final_rows is None:
+            final_rows = lake.read().count()
+    best = min(times)
     print(
         json.dumps(
             {
                 "cores": cores,
-                "seconds": round(dt, 2),
-                "events_per_sec": round(n_events / dt, 1),
-                "final_rows": n_final,
+                "times": times,
+                "seconds": best,
+                "events_per_sec": round(n_events / best, 1),
+                "final_rows": final_rows,
             }
         )
     )
