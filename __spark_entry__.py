@@ -313,6 +313,40 @@ def q_mapping_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_schema_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S8: the statistics Collector's per-schema counts over the
+    mapping compiler's statement output."""
+    from investigraph_etl_spark.plans.stats import schema_counts
+
+    return schema_counts(q_mapping_entities(spark, sf_dir))
+
+
+def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 date ops: daily rollup of the event stream."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (training-pipeline staple): 2 highest-value
+    events per user, deterministic tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
 def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine end-to-end: synthesize a deterministic changelog,
     stream it through normalize→LWW→lake MERGE, return the final table.
@@ -358,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "mapping_entities": q_mapping_entities,
+        "entity_schema_counts": q_entity_schema_counts,
+        "events_per_day": q_events_per_day,
+        "topk_events_per_user": q_topk_events_per_user,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -546,6 +583,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        """,
+        "entity_schema_counts": """
+            SELECT 'LegalEntity' AS "schema",
+                   COUNT(DISTINCT c_name) AS n_entities,
+                   COUNT(*) * 3 AS n_statements
+            FROM customer
+        """,
+        "events_per_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "topk_events_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY value DESC, event_id ASC) AS rank
+              FROM events
+            ) WHERE rank <= 2
         """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (

@@ -1,0 +1,82 @@
+"""spark-submit entry point (north star: ``spark-submit --py-files``).
+
+    spark-submit --py-files investigraph_etl_spark.zip \
+        -m investigraph_etl_spark.run tail \
+        --changelog /data/binlog --lake /data/lake --checkpoint /ckpt
+
+Subcommands:
+  ``replay``  — batch replay of a changelog directory into the lake
+  ``tail``    — streaming tailer (``--follow`` keeps running;
+                default drains available files and exits)
+  ``export``  — dump the lake's live state as parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from investigraph_etl_spark.session import get_spark
+from investigraph_etl_spark.sources.lake import HashLakeTable
+from investigraph_etl_spark.streaming.tailer import (
+    change_schema,
+    prepare_batch,
+    tail_changelog,
+    target_schema,
+)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="investigraph_etl_spark")
+    p.add_argument("command", choices=["replay", "tail", "export"])
+    p.add_argument("--changelog", help="binlog/WAL directory (parquet chunks)")
+    p.add_argument("--lake", required=True, help="lake table root")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (tail)")
+    p.add_argument("--out", help="output dir (export)")
+    p.add_argument("--master", default=None)
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--with-lang", action="store_true")
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--metrics", help="metrics JSONL path")
+    args = p.parse_args(argv)
+
+    spark = get_spark("investigraph_etl_spark", master=args.master)
+    lake = HashLakeTable.create(
+        spark,
+        args.lake,
+        target_schema(args.with_lang),
+        num_buckets=args.num_buckets,
+    )
+
+    if args.command == "replay":
+        events = spark.read.schema(change_schema(args.with_lang)).parquet(
+            args.changelog
+        )
+        stats = lake.merge(
+            prepare_batch(events),
+            lake.last_committed() + 1,
+            salt_buckets=args.salt_buckets,
+        )
+        print(json.dumps(stats))
+    elif args.command == "tail":
+        q = tail_changelog(
+            spark,
+            args.changelog,
+            lake,
+            args.checkpoint,
+            with_lang=args.with_lang,
+            max_files_per_trigger=args.max_files_per_trigger,
+            salt_buckets=args.salt_buckets,
+            metrics_path=args.metrics,
+            available_now=not args.follow,
+        )
+        q.awaitTermination()
+    elif args.command == "export":
+        lake.read().write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": lake.read().count(), "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Tabular source readers + seed discovery (SURVEY.md §2.1 S1-S3).
+
+The reference mimetype-sniffs pandas readers with a per-source
+"pandas spec" (skiprows / encoding / dtype —
+/root/reference/investigraph/logic/extract.py:13-26, fixture options
+/root/reference/tests/fixtures/gdho/config.yml:26-31) and seeds
+sources by globbing a store prefix
+(/root/reference/investigraph/logic/seed.py:10-32).
+
+Spark translation: one ``read_source`` that maps the same spec onto
+``spark.read`` options; xlsx falls back to a driver-side pandas read
+(small-file format, exactly how the reference treats it) gated behind
+an import-try.  Every record is stamped with its source name — the
+reference stamps ``__source__`` (context.py:285).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import pathlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Source:
+    """A discovered/configured source (reference model/source.py:11-49)."""
+
+    uri: str
+    name: str | None = None
+    # pandas-spec subset the reference exercises (gdho/ec_meetings)
+    options: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.name is None:
+            self.name = pathlib.Path(self.uri).stem
+
+
+def seed_sources(
+    prefix: str,
+    *,
+    pattern: str = "*",
+    exclude: str | None = None,
+) -> list[Source]:
+    """Glob a directory prefix into Sources with include/exclude
+    filters (reference logic/seed.py:10-32: ``glob``/``exclude`` over a
+    store listing)."""
+    base = pathlib.Path(prefix)
+    out = []
+    for p in sorted(base.rglob(pattern)):
+        if not p.is_file():
+            continue
+        rel = str(p.relative_to(base))
+        if exclude and fnmatch.fnmatch(rel, exclude):
+            continue
+        out.append(Source(uri=str(p)))
+    return out
+
+
+_ENCODING_ALIASES = {"latin": "ISO-8859-1", "latin1": "ISO-8859-1"}
+
+
+def read_source(spark: SparkSession, source: Source) -> DataFrame:
+    """Read one tabular source per its spec; stamps ``__source__``.
+
+    Spec keys (reference pandas-spec parity):
+      ``skiprows`` (int) — junk preamble lines before the header
+      ``encoding`` (str) — e.g. ``latin``
+      ``dtype: str`` — all columns as strings (no inference)
+      ``multiline`` (bool) — quoted newlines in fields
+    """
+    opts = dict(source.options)
+    suffix = pathlib.Path(source.uri).suffix.lower()
+    if suffix in (".xlsx", ".xls"):
+        df = _read_excel_driver(spark, source, opts)
+    elif suffix in (".json", ".jsonl", ".ndjson"):
+        df = spark.read.json(source.uri)
+    elif suffix == ".parquet":
+        df = spark.read.parquet(source.uri)
+    else:
+        df = _read_csv(spark, source, opts)
+    return df.withColumn("__source__", F.lit(source.name))
+
+
+def _read_csv(spark: SparkSession, source: Source, opts: dict) -> DataFrame:
+    reader = spark.read.option("header", True)
+    enc = opts.get("encoding")
+    if enc:
+        reader = reader.option("encoding", _ENCODING_ALIASES.get(enc, enc))
+    if opts.get("multiline"):
+        reader = reader.option("multiLine", True).option("escape", '"')
+    if not (opts.get("dtype") == "str" or opts.get("dtype") is str):
+        reader = reader.option("inferSchema", False)  # strings by default
+    skip = int(opts.get("skiprows", 0))
+    if skip:
+        # Spark CSV has no skiprows; drop the first N physical lines
+        # via a text pre-pass (keeps the plan distributed: zipWithIndex
+        # only on the tiny head partition boundary)
+        text = spark.read.text(source.uri)
+        w = F.monotonically_increasing_id()
+        body = (
+            text.withColumn("_i", w)
+            .filter(F.col("_i") >= skip)
+            .drop("_i")
+        )
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="skiprows_")
+        body.coalesce(1).write.mode("overwrite").text(tmp)
+        return reader.csv(tmp)
+    return reader.csv(source.uri)
+
+
+def _read_excel_driver(spark: SparkSession, source: Source, opts: dict) -> DataFrame:
+    """xlsx via driver-side pandas (the reference's own strategy —
+    extract.py materializes a pandas frame first).  Gated: openpyxl may
+    be absent."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(
+            source.uri,
+            skiprows=int(opts.get("skiprows", 0)),
+            dtype=str if opts.get("dtype") in ("str", str) else None,
+        )
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "xlsx reading needs openpyxl, not present in this environment"
+        ) from e
+    if opts.get("fillna") is not None:
+        pdf = pdf.fillna(opts["fillna"])
+    pdf = pdf.astype(object).where(pdf.notna(), None)  # NaN→None (extract.py:25)
+    return spark.createDataFrame(pdf)
