@@ -285,6 +285,79 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(emb, queries, dim=64, k=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (dedup family)."""
+    from investigraph_etl_spark.operators.similarity import exact_cosine_pairs
+
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.6); 0.38 is the ~99.9th percentile — a real output to check
+    return exact_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.38)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path (approximate — the
+    exact-verify keeps precision 1.0; recall vs the exact baseline is
+    asserted in tests, so no SQL oracle)."""
+    from investigraph_etl_spark.operators.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.38, dim=64
+    )
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (centroid-partitioned ANN; recall vs
+    brute force asserted in tests — approximate, so rows-only check)."""
+    from investigraph_etl_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_knn(emb, queries, k=3, n_centroids=8, nprobe=3)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal table derived from documents: opaque
+    binary payloads + typed metadata (driver mandate: media as binary
+    columns; codecs stubbed, plumbing real)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract plumbing: binary payload → Arrow batch
+    → (deterministic fake) decoder → fixed-dim features.  The oracle
+    checks the SQL-expressible outputs (payload size, feature arity)."""
+    from investigraph_etl_spark.operators.multimodal import (
+        extract_features,
+        fake_feature_decoder,
+    )
+
+    feats = extract_features(_media(spark, sf_dir), decoder=fake_feature_decoder)
+    return feats.select(
+        "media_id", "n_bytes", F.size("feature").alias("feature_dim")
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp."""
+    from investigraph_etl_spark.operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media(spark, sf_dir), every_ms=500)
+
+
 def q_mapping_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative mapping compiler (P1-P8) over the customer table:
     records → statements (id, schema, prop, value)."""
@@ -391,6 +464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "ivf_knn": q_ivf_knn,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "mapping_entities": q_mapping_entities,
         "entity_schema_counts": q_entity_schema_counts,
         "events_per_day": q_events_per_day,
@@ -615,6 +693,29 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings d ON q.vec_id != d.vec_id
               WHERE q.vec_id < 20
             ) WHERE rank <= 3
+        """,
+        "embedding_near_dup": """
+            SELECT id_a, id_b, ROUND(cosine, 4) AS cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.38
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   8 AS feature_dim
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id,
+                     GREATEST(CAST(FLOOR(n_chars / 500) AS INT), 1) AS nf
+              FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id, i * 500 AS frame_ts_ms
+            FROM v, UNNEST(generate_series(0, nf - 1)) AS t(i)
         """,
         "mapping_entities": """
             WITH base AS (SELECT c_name,

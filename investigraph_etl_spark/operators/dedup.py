@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from investigraph_etl_spark.operators.textstats import words
+from investigraph_etl_spark.partitioning import fan_out
 
 
 def exact_dedup(
@@ -68,7 +69,7 @@ def ngram_jaccard_pairs(
     skewed shingle keys.  ``max_shingle_df`` drops shingles appearing
     in more than that many docs (stop-shingle cap for web scale).
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
@@ -122,7 +123,7 @@ def minhash_signatures(
     xxhash64(shingle, salt_i).  One explode + one hash-agg computing all
     k minimums simultaneously (map-side combine ⇒ shuffle carries one
     row per doc per partition)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -213,7 +214,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
         votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
     )
     sim = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    return fan_out(df).select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

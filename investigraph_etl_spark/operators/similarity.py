@@ -31,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from investigraph_etl_spark.partitioning import fan_out
+
 _PAIR_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -76,7 +78,7 @@ def brute_force_knn(
             }
             yield pd.DataFrame(out)
 
-    local = embeddings.select(id_col, vec_col).mapInPandas(score, _PAIR_SCHEMA)
+    local = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(score, _PAIR_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -137,7 +139,62 @@ def lsh_bucket_ids(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(bucketize, schema)
+
+
+def _cosine_expr(a, b):
+    """Exact cosine between two array<float> columns, JVM-side
+    (fold + zip_with — no Python crossing for the verify step)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (dot / (norm(a) * norm(b))).cast("double")
+
+
+def _score_topk(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Shared tail of every ANN variant: exact-score candidate
+    (query_id, neighbor_id) pairs, rank, keep top-k.  Deterministic
+    tie-break by neighbor_id asc (the reference's sort-before-hash
+    determinism discipline, tests/fixtures/ec_meetings/transform.py:98)."""
+    pairs = (
+        cand.join(
+            embeddings.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            ),
+            "query_id",
+        )
+        .join(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+            ),
+            "neighbor_id",
+        )
+    )
+    scored = pairs.withColumn("cosine", _cosine_expr(F.col("_qv"), F.col("_nv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", round_dp).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def lsh_knn(
@@ -167,36 +224,219 @@ def lsh_knn(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
+    return _score_topk(cand, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample.
+
+    The coarse quantizer is tiny (n_centroids × dim floats) and global,
+    so it is trained driver-side on a bounded sample — the standard IVF
+    recipe — then broadcast.  Sample selection is `orderBy(id).limit`
+    for byte-stable determinism across partitionings; at 100 TB swap
+    for `df.sample(frac, seed)` (cheaper, still seed-stable for a
+    fixed file layout)."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id) rows — nearest ``nprobe`` centroids per vector
+    (data side uses 1; query side probes several).  One numpy matmul
+    per Arrow batch against the broadcast quantizer."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("centroid_id", LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        p = min(nprobe, len(cent))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cent.T  # (N, C)
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, p),
+                    "centroid_id": top.ravel().astype(np.int64),
+                }
+            )
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(assign, schema)
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus by nearest centroid,
+    probe only the query's ``nprobe`` nearest cells, exact-score the
+    survivors.  Probe cost ∝ corpus/n_centroids × nprobe.  At 100 TB
+    the per-cell inverted lists live as `centroid_id`-partitioned lake
+    files, so a probe is a partition-pruned scan, not a shuffle."""
+    cent = ivf_centroids(
+        embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    data_a = ivf_assign(embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col)
+    query_a = ivf_assign(
+        queries, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).withColumnsRenamed({"id": "query_id"})
+    cand = (
+        query_a.join(data_a, "centroid_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    return _score_topk(cand, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# --------------------------------------------- embedding near-dup pairs
+
+
+def exact_cosine_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t) —
+    exact all-pairs baseline.  The corpus matrix is broadcast and each
+    partition scores its rows against it with one matmul; only pairs
+    above threshold are emitted, so the shuffle carries survivors, not
+    the n² cross product.  Filter and dedup (id_a < id_b) happen inside
+    the numpy kernel.  Baseline only: at web scale use
+    :func:`lsh_near_dup_pairs`."""
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    bx = sc.broadcast((ids, mat))
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bx.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            loc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            loc = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            loc /= np.linalg.norm(loc, axis=1, keepdims=True)
+            sims = all_mat @ loc.T  # (n_all, n_batch)
+            # keep (corpus_id < local_id) so each unordered pair is
+            # emitted exactly once, by exactly one task
+            mask = (sims >= threshold) & (all_ids[:, None] < loc_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": all_ids[ai],
+                    "id_b": loc_ids[bj],
+                    "cosine": sims[ai, bj],
+                }
+            )
+
+    return (
+        fan_out(embeddings.select(id_col, vec_col))
+        .mapInPandas(score, schema)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: candidates from
+    random-hyperplane bucket collisions (any table), exact cosine
+    verify ≥ threshold.  All-pairs never materializes; recall vs
+    :func:`exact_cosine_pairs` is measured in tests."""
+    b = lsh_bucket_ids(
+        embeddings, dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table_ix") == F.col("y.table_ix"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
     pairs = (
         cand.join(
-            embeddings.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-            ),
-            "query_id",
+            embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av")),
+            "id_a",
         )
         .join(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-            ),
-            "neighbor_id",
+            embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv")),
+            "id_b",
         )
+        .withColumn("cosine", _cosine_expr(F.col("_av"), F.col("_bv")))
+        .filter(F.col("cosine") >= threshold)
     )
-    dot = F.aggregate(
-        F.zip_with("_qv", "_nv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    scored = pairs.withColumn(
-        "cosine", (dot / (norm(F.col("_qv")) * norm(F.col("_nv")))).cast("double")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

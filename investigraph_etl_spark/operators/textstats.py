@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from investigraph_etl_spark.partitioning import fan_out
+
 # tiny per-language marker-word profiles for the n-gram/stopword vote.
 # Deliberately public-knowledge common words.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -64,7 +66,7 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(
         F.filter(ws, lambda w: F.lower(w).isin(STOPWORDS))
     )
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
@@ -107,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         init,
         lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
     )
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         best["lang"].alias("lang_pred"),
         best["score"].alias("lang_score"),
@@ -121,7 +123,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     word-order- and duplication-insensitive."""
     ws = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
     canon = F.array_join(F.array_sort(F.array_distinct(ws)), " ")
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),

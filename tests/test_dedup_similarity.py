@@ -16,7 +16,13 @@ from investigraph_etl_spark.operators.dedup import (
     simhash_near_dup_pairs,
     word_shingles,
 )
-from investigraph_etl_spark.operators.similarity import brute_force_knn, lsh_knn
+from investigraph_etl_spark.operators.similarity import (
+    brute_force_knn,
+    exact_cosine_pairs,
+    ivf_knn,
+    lsh_knn,
+    lsh_near_dup_pairs,
+)
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +163,59 @@ def test_lsh_knn_recall(spark, emb):
     hits = sum(len(set(exact[q]) & by_q.get(q, set())) for q in exact)
     recall = hits / (len(exact) * 3)
     assert recall >= 0.7, f"LSH-KNN recall too low: {recall}"
+
+
+def test_ivf_knn_recall(spark, emb):
+    df, vecs = emb
+    exact = _np_knn(vecs, list(range(10)), 3)
+    got = ivf_knn(
+        df, df.filter(F.col("vec_id") < 10), k=3, n_centroids=6, nprobe=3
+    ).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(set(exact[q]) & by_q.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * 3)
+    # clustered data, 3-of-6 cells probed → near-exact expected
+    assert recall >= 0.8, f"IVF-KNN recall too low: {recall}"
+
+
+def _np_cosine_pairs(vecs: dict[int, np.ndarray], threshold: float):
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids]).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    out = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sims[a, b] >= threshold:
+                out[(ids[a], ids[b])] = sims[a, b]
+    return out
+
+
+def test_exact_cosine_pairs_matches_numpy(spark, emb):
+    df, vecs = emb
+    expected = _np_cosine_pairs(vecs, 0.9)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in exact_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert expected, "clustered fixture must contain near-dup pairs"
+    assert set(got) == set(expected)
+    for pair, cos in got.items():
+        assert abs(cos - expected[pair]) < 1e-3
+
+
+def test_lsh_near_dup_recall_and_precision(spark, emb):
+    df, vecs = emb
+    expected = set(_np_cosine_pairs(vecs, 0.9))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.9, dim=16, n_bits=6, n_tables=10
+        ).collect()
+    }
+    # exact verify step ⇒ precision is always 1.0
+    assert got <= set(_np_cosine_pairs(vecs, 0.9 - 1e-9))
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, f"LSH near-dup recall too low: {recall}"
