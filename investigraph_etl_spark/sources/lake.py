@@ -327,6 +327,41 @@ class HashLakeTable:
         }
 
 
+    # ----------------------------------------------------- maintenance
+    def vacuum(self, *, keep_manifests: int = 10) -> dict:
+        """Garbage-collect storage (the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analog).
+
+        Merge is copy-on-write per touched bucket, so every commit
+        supersedes the touched buckets' previous file sets — without
+        GC, storage grows with Σ(batch writes), unbounded over a
+        10^10-event replay.  Deletes every data file not referenced by
+        the CURRENT manifest and expires all but the newest
+        ``keep_manifests`` manifests.  Time travel to expired versions
+        is gone afterwards; do not run concurrently with a reader
+        pinned to an old snapshot (single-writer discipline, as with
+        Iceberg maintenance)."""
+        referenced = {
+            f for files in self._manifest["buckets"].values() for f in files
+        }
+        removed = 0
+        data = self.root / "data"
+        for p in sorted(data.rglob("*"), reverse=True):
+            if p.is_file() and str(p) not in referenced:
+                p.unlink()
+                removed += 1
+            elif p.is_dir():
+                try:
+                    p.rmdir()  # only empties fall
+                except OSError:
+                    pass
+        manifests = sorted((self.root / "manifests").glob("v*.json"))
+        expired = manifests[:-keep_manifests] if keep_manifests > 0 else []
+        for m in expired:
+            m.unlink()
+        return {"removed_files": removed, "expired_manifests": len(expired)}
+
+
 class IcebergLakeTable:
     """Real-Iceberg backend: same API, SQL ``MERGE INTO`` execution.
 

@@ -25,7 +25,8 @@ import json
 import pathlib
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -136,15 +137,35 @@ def tail_changelog(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        reduced = prepare_batch(batch)
+        # metrics ride the merge's own actions via observe() — no extra
+        # scan of the batch (batch.count() would re-read every file, a
+        # full second pass at 100 TB)
+        obs = Observation()
+        observed = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min("event_sequence").alias("min_seq"),
+            F.max("event_sequence").alias("max_seq"),
+            F.max("event_time").alias("max_event_time"),
+        )
+        reduced = prepare_batch(observed)
         result = lake.merge(reduced, batch_id, salt_buckets=salt_buckets)
         dt = time.monotonic() - t0
-        n_in = batch.count()
+        o = obs.get if not result.get("skipped") else {}
+        max_et = o.get("max_event_time")
         metrics.write(
             {
                 "batch_id": batch_id,
-                "rows_in": n_in,
-                "events_per_sec": round(n_in / dt, 2) if dt > 0 else None,
+                "rows_in": o.get("rows_in"),
+                "min_seq": o.get("min_seq"),
+                "max_seq": o.get("max_seq"),
+                # ingest lag: wall clock vs newest event in the batch
+                "lag_sec": round(time.time() - max_et.timestamp(), 3)
+                if max_et is not None
+                else None,
+                "events_per_sec": round(o["rows_in"] / dt, 2)
+                if dt > 0 and o.get("rows_in")
+                else None,
                 "seconds": round(dt, 3),
                 "lake_version": result.get("version"),
                 "skipped": result.get("skipped", False),

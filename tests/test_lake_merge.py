@@ -117,3 +117,28 @@ def test_salted_lww_same_result(spark, lake):
     events = gen_events_pandas(0, 3000, seed=6, n_docs=50, skew_frac=0.6, n_hot=1)
     lake.merge(prepare_batch(_spark_events(spark, events), salt_buckets=8), 0)
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_vacuum_reclaims_superseded_files_preserves_state(spark, lake):
+    events = gen_events_pandas(0, 3000, seed=7, n_docs=100)
+    for bid, start in enumerate(range(0, 3000, 600)):
+        chunk = events.iloc[start : start + 600]
+        lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+    expected = oracle_reduce(events)
+    import pathlib
+
+    data = pathlib.Path(lake.root) / "data"
+    before = sum(1 for p in data.rglob("*") if p.is_file())
+    stats = lake.vacuum(keep_manifests=2)
+    after = sum(1 for p in data.rglob("*") if p.is_file())
+    # 5 commits each rewrote most buckets → most file sets superseded
+    assert stats["removed_files"] > 0 and after < before
+    assert stats["expired_manifests"] > 0
+    # live state byte-identical after GC, and the table still merges
+    assert_pdf_equal(lake.read().toPandas(), expected)
+    one = gen_events_pandas(9000, 10, seed=8, n_docs=100)
+    lake.merge(prepare_batch(_spark_events(spark, one)), 99)
+    assert_pdf_equal(
+        lake.read().toPandas(),
+        oracle_reduce(pd.concat([events, one], ignore_index=True)),
+    )
