@@ -358,6 +358,34 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media(spark, sf_dir), every_ms=500)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline — the operators composed
+    the way a real pretraining-data job chains them: quality gate →
+    exact-dedup (keep canonical doc only) → language ID → token count.
+    All JVM-side exprs; one hash-agg shuffle (dedup) + broadcast-able
+    joins on doc_id."""
+    from investigraph_etl_spark.operators.dedup import exact_dedup
+    from investigraph_etl_spark.operators.textstats import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    canonical = exact_dedup(d).select(
+        F.col("canonical_id").alias("doc_id"), "n_dups"
+    )
+    quality = quality_stats(d).filter(F.col("keep")).select("doc_id")
+    lang = lang_id(d).select("doc_id", "lang_pred")
+    toks = d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens"))
+    return (
+        canonical.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .select("doc_id", "n_dups", "lang_pred", "n_tokens")
+    )
+
+
 def q_mapping_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative mapping compiler (P1-P8) over the customer table:
     records → statements (id, schema, prop, value)."""
@@ -469,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "corpus_curation": q_corpus_curation,
         "mapping_entities": q_mapping_entities,
         "entity_schema_counts": q_entity_schema_counts,
         "events_per_day": q_events_per_day,
@@ -707,6 +736,50 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        "corpus_curation": """
+            WITH canon AS (
+              SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+              FROM documents GROUP BY md5(text)
+            ), t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS ws
+              FROM documents
+            ), q AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, len(ws) AS n_words,
+                       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+                       CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / n_chars AS pr
+                FROM t
+              ) WHERE n_words >= 5 AND mwl >= 2 AND mwl <= 12 AND pr <= 0.2
+            ), lw AS (
+              SELECT doc_id, list_distinct(list_transform(ws, w -> lower(w))) AS dws FROM t
+            ), s AS (
+              SELECT doc_id,
+                len(list_intersect(dws, ['the','and','of','to','a','in','is','that'])) AS s_en,
+                len(list_intersect(dws, ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+                len(list_intersect(dws, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+                len(list_intersect(dws, ['el','la','los','y','es','un','una','que'])) AS s_es
+              FROM lw
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+                          WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM s
+            ), toks AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+              FROM documents
+            )
+            SELECT canon.doc_id, canon.n_dups, lang.lang_pred, toks.n_tokens
+            FROM canon
+            JOIN q ON q.doc_id = canon.doc_id
+            JOIN lang ON lang.doc_id = canon.doc_id
+            JOIN toks ON toks.doc_id = canon.doc_id
         """,
         "frame_sample": """
             WITH v AS (

@@ -94,3 +94,59 @@ def test_zip_things_mismatch_drops(spark):
         spark, zip_things(F.col("a"), F.col("b")), a="A, B, C", b="R1, R2"
     )
     assert v == []
+
+
+def test_format_address_templates(spark):
+    from investigraph_etl_spark.functions.addresses import format_address
+
+    # continental order: postal code before city
+    v = _one(
+        spark,
+        format_address(
+            street=F.col("st"), postal_code=F.col("pc"),
+            city=F.col("ci"), country=F.col("co"),
+        ),
+        st="Hauptstr. 5", pc="10115", ci="Berlin", co="de",
+    )
+    assert v == "Hauptstr. 5, 10115 Berlin, DE"
+    # anglophone order: city before postal code
+    v = _one(
+        spark,
+        format_address(
+            street=F.col("st"), postal_code=F.col("pc"),
+            city=F.col("ci"), country=F.col("co"),
+        ),
+        st="1 Main St", pc="90210", ci="Beverly Hills", co="us",
+    )
+    assert v == "1 Main St, Beverly Hills 90210, US"
+
+
+def test_format_address_null_parts_drop(spark):
+    from investigraph_etl_spark.functions.addresses import format_address
+
+    v = _one(
+        spark,
+        format_address(street=F.col("st"), city=F.col("ci"), country=F.col("co")),
+        st="  1 Main St ", ci="", co="fr",
+    )
+    assert v == "1 Main St, FR"
+    v = _one(
+        spark,
+        format_address(street=F.col("st"), city=F.col("ci"), country=F.col("co")),
+        st="   ", ci="", co="",
+    )
+    assert v is None
+
+
+def test_make_address_row_deterministic(spark):
+    from investigraph_etl_spark.functions.addresses import make_address_row
+
+    expr = make_address_row(
+        street=F.col("st"), city=F.col("ci"), country=F.col("co")
+    )
+    a = _one(spark, expr, st="1 Main St", ci="Springfield", co="us")
+    b = _one(spark, expr, st="1  Main   St", ci="Springfield", co="us")
+    assert a["schema"] == "Address" and a["country"] == "us"
+    assert a["id"].startswith("addr-")
+    # slug-keyed id: whitespace runs collapse to the same slug → same id
+    assert a["id"] == b["id"]
