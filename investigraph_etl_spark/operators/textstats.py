@@ -50,6 +50,26 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces)
 
 
+def quality_keep(text: Column) -> Column:
+    """Gopher-rule-shaped keep/drop flag as a standalone expression —
+    composable into single-pass pipelines (no join needed to combine
+    with other per-doc signals)."""
+    ws = words(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    mean_wlen = (
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / n_words
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return (
+        (n_words >= 5)
+        & (mean_wlen >= 2)
+        & (mean_wlen <= 12)
+        & ((n_punct.cast("double") / n_chars) <= 0.2)
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, token count, mean word
     length, punctuation ratio, stopword ratio, and a keep/drop flag
@@ -91,12 +111,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: vote by distinct marker-word hits; ties →
-    lexicographically smallest language (deterministic); no hits →
-    'und'.  Implemented as a fold over the (sorted) language profiles —
-    a strict-greater comparison keeps the first language on ties."""
-    scores = lang_scores(F.col(text_col))
+def lang_best(text: Column) -> Column:
+    """Winning ``struct(score, lang)`` as a standalone expression: vote
+    by distinct marker-word hits; ties → lexicographically smallest
+    language (a fold with strict-greater keeps the first); no hits →
+    'und'."""
+    scores = lang_scores(text)
     pairs = F.array(
         *[
             F.struct(score.cast("int").alias("score"), F.lit(lang).alias("lang"))
@@ -104,11 +124,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ]
     )
     init = F.struct(F.lit(0).cast("int").alias("score"), F.lit("und").alias("lang"))
-    best = F.aggregate(
+    return F.aggregate(
         pairs,
         init,
         lambda acc, p: F.when(p["score"] > acc["score"], p).otherwise(acc),
     )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID (see :func:`lang_best`)."""
+    best = lang_best(F.col(text_col))
     return fan_out(df).select(
         "doc_id",
         best["lang"].alias("lang_pred"),
