@@ -456,7 +456,11 @@ def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine end-to-end: synthesize a deterministic changelog,
     stream it through normalize→LWW→lake MERGE, return the final table.
     No SQL oracle (the changelog isn't a registered view); pytest
-    covers equivalence vs the pandas oracle (tests/test_lake_merge.py)."""
+    covers full token-array equivalence vs the pandas oracle
+    (tests/test_lake_merge.py).  The ``tokens`` array column is
+    projected to a stable hash here because the driver's rows-only
+    canonicalization sorts the pandas frame over all columns and list
+    cells are unhashable (round-1 gate ERROR)."""
     import tempfile
 
     from investigraph_etl_spark.changelog import write_changelog
@@ -472,7 +476,12 @@ def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = HashLakeTable.create(spark, f"{tmp}/lake", target_schema(), num_buckets=8)
     events = spark.read.schema(change_schema()).parquet(f"{tmp}/log")
     replay_batch(events, lake)
-    return lake.read()
+    return lake.read().select(
+        "doc_id",
+        F.xxhash64(F.to_json("tokens")).alias("tokens_hash"),
+        "n_tok",
+        "source",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -605,7 +614,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM gaps GROUP BY user_id
         """,
         "text_quality": """
