@@ -45,6 +45,7 @@ def lww_dedup(
     salt_buckets: int = 0,
     extra_keys: tuple[str, ...] = (),
     winners_strategy: str = "broadcast",
+    auto_count_max_keys: int = 2_000_000,
 ) -> DataFrame:
     """Keep, per ``key``, only the row with the max ``(seq, *extra_keys)``.
 
@@ -65,6 +66,12 @@ def lww_dedup(
     * ``"shuffle_hash"`` — for batches whose key set genuinely cannot
       broadcast: one payload shuffle, hash probe, still no sort.
     * ``"auto"`` — defer to Catalyst/AQE.
+    * ``"auto_count"`` — size-based pick (round-2, VERDICT item 7): one
+      extra *narrow* job counts the winner set (scan of key+order
+      columns only — the payload is never touched), then broadcast if
+      it fits ``auto_count_max_keys``, else shuffle_hash.  Removes the
+      "caller must remember the knob" failure mode for bulk replays
+      with 10⁷⁺ distinct keys, at the cost of one cheap count per call.
     """
     order_cols = [seq, *extra_keys]
     pick = F.max(F.struct(*order_cols)).alias("_w")
@@ -81,6 +88,11 @@ def lww_dedup(
     else:
         winners = narrow.groupBy(key).agg(pick).select(key, "_w.*")
 
+    if winners_strategy == "auto_count":
+        n_keys = winners.count()
+        winners_strategy = (
+            "broadcast" if n_keys <= auto_count_max_keys else "shuffle_hash"
+        )
     if winners_strategy == "broadcast":
         winners = F.broadcast(winners)
     elif winners_strategy == "shuffle_hash":

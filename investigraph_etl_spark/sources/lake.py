@@ -20,15 +20,26 @@ a *late* event older than a delete cannot resurrect a row — the
 ``WHEN MATCHED AND s.event_sequence > t._seq`` guard from SURVEY.md
 §2.9 T5, expressed as a plain max-by reduce.
 
-Scale design (100 TB / 10^10 events):
-* the table is bucketed by ``xxhash64(key) % num_buckets`` — a MERGE
-  touches only buckets present in the batch (partition pruning by
-  file list, the manifest is the index);
-* per-commit work ∝ (touched buckets' data + batch), never a full
-  table rewrite;
-* the LWW-union reduce is a hash aggregate with map-side combine —
-  no sort, no row_number;
-* manifests are O(num_buckets) JSON — at 4096 buckets still trivial.
+Scale design (100 TB / 10^10 events) — merge-on-read (round 2; round 1
+was copy-on-write, whose per-commit write amplification O(table size /
+batch) was the top 100 TB killer flagged in VERDICT.md):
+* the table is bucketed by ``xxhash64(key) % num_buckets``; each
+  bucket holds a *base* file set plus a list of *delta* file sets;
+* a MERGE writes the LWW-reduced batch as bucket-partitioned delta
+  files — **per-commit bytes written ∝ batch size**, never the table;
+* reads apply LWW over base ∪ deltas on ``(key, max(_seq, _commit))``
+  — ``_commit`` (the writing commit's version, stored per row) breaks
+  equal-``_seq`` ties in arrival order, exactly as the old COW union's
+  ``_pref`` column did;
+* :meth:`compact` folds a bucket's deltas back into its base (the
+  Iceberg merge-on-read + ``rewrite_data_files`` analog); ``merge``
+  auto-compacts any touched bucket whose delta count reaches
+  ``auto_compact_deltas``, so read amplification is bounded and
+  compaction cost is amortized 1/``auto_compact_deltas`` per commit;
+* the LWW reduce is a hash aggregate with map-side combine — no sort,
+  no row_number;
+* manifests are O(num_buckets × deltas-per-bucket) JSON — bounded by
+  auto-compaction.
 
 Single-writer assumption: one committer at a time (Structured
 Streaming's ``foreachBatch`` is sequential per query).  Matches the
@@ -56,6 +67,9 @@ _INTERNAL = [
     StructField("_seq", LongType(), True),
     StructField("_deleted", BooleanType(), True),
 ]
+# stored per row but not part of the public read_raw contract: the
+# version of the commit that wrote the row (LWW tie-break across files)
+_COMMIT = StructField("_commit", LongType(), True)
 
 
 class HashLakeTable:
@@ -64,8 +78,9 @@ class HashLakeTable:
     Layout::
 
         <root>/_latest                  # version pointer (atomic rename)
-        <root>/manifests/v<NNNNNN>.json # schema, bucket→files, commits
-        <root>/data/c<version>/b=<k>/…  # data files written by commit v
+        <root>/manifests/v<NNNNNN>.json # schema, bucket→base/deltas, commits
+        <root>/data/c<version>/…        # delta files written by commit v
+        <root>/data/c<version>x/…       # compacted bases written at v
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -99,7 +114,8 @@ class HashLakeTable:
             "key": key,
             "num_buckets": num_buckets,
             "schema": json.loads(schema.json()),
-            "buckets": {},
+            "buckets": {},  # bucket -> base file list
+            "deltas": {},  # bucket -> list of delta file lists (commit order)
             "commits": {},
             "lineage": [],
         }
@@ -149,22 +165,46 @@ class HashLakeTable:
 
     # ------------------------------------------------------------ read
     def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
-        entries = self._manifest["buckets"]
+        """Base + delta files for the given buckets (None = all)."""
+        bases = self._manifest["buckets"]
+        deltas = self._manifest.get("deltas", {})
         if buckets is None:
-            keys = list(entries)
+            keys = sorted(set(bases) | set(deltas))
         else:
-            keys = [str(b) for b in buckets if str(b) in entries]
-        return [f for k in keys for f in entries[k]]
+            keys = [str(b) for b in buckets]
+        out: list[str] = []
+        for k in keys:
+            out.extend(bases.get(k, []))
+            for dset in deltas.get(k, []):
+                out.extend(dset)
+        return out
+
+    def _scan(self, files: list[str]) -> DataFrame:
+        """Raw file scan (no LWW), stored schema incl. ``_commit``.
+        Explicit schema ⇒ files written before a column was added read
+        it back as null (additive evolution, SURVEY.md §2.9 T6)."""
+        stored = StructType(list(self.full_schema.fields) + [_COMMIT])
+        if not files:
+            return self.spark.createDataFrame([], stored)
+        return self.spark.read.schema(stored).parquet(*files)
 
     def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
-        """All rows incl. tombstones and internal columns.  Passing
-        ``buckets`` prunes the scan to those buckets' files."""
-        files = self._bucket_files(buckets)
-        if not files:
-            return self.spark.createDataFrame([], self.full_schema)
-        # explicit schema ⇒ files written before a column was added
-        # read it back as null (additive evolution, SURVEY.md §2.9 T6)
-        return self.spark.read.schema(self.full_schema).parquet(*files)
+        """Current row per key incl. tombstones and internal columns
+        (merge-on-read: LWW over base ∪ deltas on ``(_seq, _commit)``).
+        Passing ``buckets`` prunes the scan to those buckets' files.
+        The winner semi-join strategy is left to Catalyst/AQE — the
+        full table is not a micro-batch, forcing broadcast would be
+        wrong at scale."""
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
+        merged = lww_dedup(
+            self._scan(self._bucket_files(buckets)),
+            self.key,
+            "_seq",
+            extra_keys=("_commit",),
+            winners_strategy="auto",
+        )
+        return merged.select(*[f.name for f in self.full_schema.fields])
 
     def read(self) -> DataFrame:
         """Live rows, public schema."""
@@ -196,14 +236,25 @@ class HashLakeTable:
         op: str = "op",
         salt_buckets: int = 0,
         winners_strategy: str = "broadcast",
+        auto_compact_deltas: int = 8,
     ) -> dict:
-        """Apply one change batch (raw or pre-reduced — LWW runs here).
+        """Apply one change batch (raw or pre-reduced — in-batch LWW
+        runs here) as a merge-on-read delta commit.
 
-        In-batch dedup and the target-vs-batch merge are ONE pass:
-        ``LWW(LWW(batch) ∪ target) ≡ LWW(batch ∪ target)``, so folding
-        them halves the winner aggregations and broadcast builds
-        (measured — BENCH.md).  ``salt_buckets``/``winners_strategy``
-        forward to :func:`lww_dedup`.
+        The batch is LWW-reduced to ≤1 row per key, bucketed, and
+        *appended* as delta files — the target is never read or
+        rewritten, so per-commit bytes written ∝ batch size (the
+        round-1 COW design rewrote every touched bucket; at uniform
+        key distribution that was a full-table rewrite per commit).
+        The target-vs-batch LWW guard (late events lose, tombstones
+        cannot be resurrected) moves to read/compact time: winners are
+        picked by ``max(_seq, _commit)`` over base ∪ deltas, where
+        ``_commit`` reproduces the old union's arrival-order tiebreak.
+
+        Any touched bucket accumulating ``auto_compact_deltas`` delta
+        sets is folded into its base within the same commit (see
+        :meth:`compact`) — read amplification stays bounded while
+        amortized compaction cost per commit is table/auto_compact.
 
         Exactly-once: Structured Streaming batch ids are monotonic and a
         retried batch re-runs with the same id, so a batch with
@@ -246,85 +297,119 @@ class HashLakeTable:
             "_deleted",
         )
 
-        bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
-        changes = changes.withColumn("_bucket", bucket_expr)
-
-        # 3. prune: only buckets the batch touches are read & rewritten.
-        # This extra action runs only a scan of the key column + a
-        # distinct (≤ num_buckets rows out) — column pruning reaches the
-        # source, and no join/LWW is in this plan branch.
-        touched = sorted(
-            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
-        )
-        current = self.read_raw(touched).withColumn("_bucket", bucket_expr)
-
-        # 4. single LWW over target ∪ batch: dedups within the batch AND
-        # applies the _seq-max late-event guard against the target
-        # (late/out-of-order events lose; a delete tombstone cannot be
-        # resurrected by an older update).  _pref breaks target-vs-batch
-        # ties (possible only when an already-applied event replays past
-        # the commit-log check — content identical, keep the batch side).
-        unioned = current.withColumn("_pref", F.lit(0)).unionByName(
-            changes.withColumn("_pref", F.lit(1))
-        )
-
-        # (A co-partitioned exchange-reuse variant — shuffle payload once
-        # by bucket, winner-agg and semi-join riding that partitioning —
-        # was prototyped and measured WORSE: Catalyst pushes the semi
-        # join through the union, duplicating the winner subplan, and a
-        # struct-max agg degrades to SortAggregate.  Broadcast keeps the
-        # payload shuffle count at one — the write's own — with a small
-        # serial broadcast-build cost bounded by the batch's key count.)
+        # 3. in-batch LWW (≤1 row per key) — the cross-commit guard is
+        # read-time LWW, so only the batch itself needs reducing here.
         from investigraph_etl_spark.operators.lww import lww_dedup
 
-        merged = lww_dedup(
-            unioned,
+        out_version = self.version + 1
+        reduced = lww_dedup(
+            changes,
             self.key,
             "_seq",
-            extra_keys=("_pref",),
             salt_buckets=salt_buckets,
             winners_strategy=winners_strategy,
-        ).drop("_pref")
-        merged = merged.repartition(max(len(touched), 1), "_bucket")
-
-        # 5. write one file set for the touched buckets — dynamic
-        # partitionBy on _bucket (the data is already clustered by it);
-        # NO global sort — sorting rows that carry token arrays
-        # measurably inverse-scales (BENCH.md)
-        out_version = self.version + 1
-        out_dir = self.root / "data" / f"c{out_version:06d}"
-        (
-            merged.write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(str(out_dir))
         )
+        bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
+        reduced = reduced.withColumn("_bucket", bucket_expr).withColumn(
+            "_commit", F.lit(out_version).cast("long")
+        )
+
+        # 4. append delta files clustered by bucket.  The write's own
+        # directory listing yields the touched-bucket set — no separate
+        # distinct() job.  NO global sort — sorting rows that carry
+        # token arrays measurably inverse-scales (BENCH.md).
+        reduced = reduced.repartition(self.num_buckets, "_bucket")
+        out_dir = self.root / "data" / f"c{out_version:06d}"
+        reduced.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
         new_files: dict[str, list[str]] = {}
         for bdir in out_dir.glob("_bucket=*"):
             b = bdir.name.split("=", 1)[1]
             new_files[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
+        touched = sorted(int(b) for b in new_files)
 
-        # 6. commit: carry forward untouched buckets, swap pointer
-        buckets = dict(self._manifest["buckets"])
+        # 5. commit: append deltas, swap pointer
+        deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
         for b in touched:
-            buckets[str(b)] = new_files.get(str(b), [])
+            deltas.setdefault(str(b), []).append(new_files[str(b)])
         commits = {**self._manifest["commits"], stream_id: batch_id}
         lineage = self._manifest.get("lineage", [])[-200:] + [
             {"batch_id": batch_id, "stream_id": stream_id, "version": out_version,
-             "touched_buckets": [int(b) for b in touched]}
+             "touched_buckets": touched}
         ]
         self._manifest = {
             **self._manifest,
             "version": out_version,
-            "buckets": buckets,
+            "deltas": deltas,
             "commits": commits,
             "lineage": lineage,
         }
+
+        # 6. bounded read amplification: fold any bucket at the delta
+        # threshold back into its base (same manifest commit)
+        full = [
+            int(b) for b, dsets in deltas.items() if len(dsets) >= auto_compact_deltas
+        ]
+        compacted = 0
+        if full:
+            compacted = self._compact_into_manifest(full, out_version)
+
         self._write_manifest(self.root, self._manifest)
         return {
             "skipped": False,
             "version": out_version,
             "touched_buckets": len(touched),
+            "compacted_buckets": compacted,
         }
+
+    # ------------------------------------------------------- compaction
+    def _compact_into_manifest(self, buckets: list[int], version: int) -> int:
+        """Fold base ∪ deltas into a new base for ``buckets``, updating
+        ``self._manifest`` in place (caller writes the manifest)."""
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
+        files = self._bucket_files(buckets)
+        if not files:
+            return 0
+        bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
+        merged = lww_dedup(
+            self._scan(files),
+            self.key,
+            "_seq",
+            extra_keys=("_commit",),
+            winners_strategy="auto",
+        ).withColumn("_bucket", bucket_expr)
+        merged = merged.repartition(max(len(buckets), 1), "_bucket")
+        out_dir = self.root / "data" / f"c{version:06d}x"
+        merged.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
+        new_base: dict[str, list[str]] = {}
+        for bdir in out_dir.glob("_bucket=*"):
+            b = bdir.name.split("=", 1)[1]
+            new_base[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
+        bases = dict(self._manifest["buckets"])
+        deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+        for b in buckets:
+            bases[str(b)] = new_base.get(str(b), [])
+            deltas.pop(str(b), None)
+        self._manifest = {**self._manifest, "buckets": bases, "deltas": deltas}
+        return len(buckets)
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold deltas into bases (Iceberg ``rewrite_data_files`` analog)
+        as a new table version.  ``buckets`` defaults to every bucket
+        that currently has deltas."""
+        deltas = self._manifest.get("deltas", {})
+        targets = (
+            sorted(int(b) for b in deltas if deltas[b])
+            if buckets is None
+            else list(buckets)
+        )
+        if not targets:
+            return {"compacted_buckets": 0, "version": self.version}
+        version = self.version + 1
+        self._manifest = {**self._manifest, "version": version}
+        n = self._compact_into_manifest(targets, version)
+        self._write_manifest(self.root, self._manifest)
+        return {"compacted_buckets": n, "version": version}
 
 
     # ----------------------------------------------------- maintenance
@@ -332,22 +417,32 @@ class HashLakeTable:
         """Garbage-collect storage (the Iceberg ``expire_snapshots`` +
         ``remove_orphan_files`` analog).
 
-        Merge is copy-on-write per touched bucket, so every commit
-        supersedes the touched buckets' previous file sets — without
-        GC, storage grows with Σ(batch writes), unbounded over a
-        10^10-event replay.  Deletes every data file not referenced by
-        the CURRENT manifest and expires all but the newest
-        ``keep_manifests`` manifests.  Time travel to expired versions
-        is gone afterwards; do not run concurrently with a reader
-        pinned to an old snapshot (single-writer discipline, as with
-        Iceberg maintenance)."""
-        referenced = {
-            f for files in self._manifest["buckets"].values() for f in files
-        }
+        Compaction supersedes the folded buckets' old base + delta
+        files — without GC, storage grows with Σ(batch writes),
+        unbounded over a 10^10-event replay.  Expires all but the
+        newest ``keep_manifests`` manifests, then deletes every data
+        file referenced by NONE of the *retained* manifests — so time
+        travel to any retained version keeps working (round-2 fix:
+        the round-1 version kept only the current manifest's files,
+        silently breaking retained snapshots).  Paths are compared
+        resolved, so opening the table via a relative path / symlink
+        spelling cannot orphan live files (round-2 fix).  Single-writer
+        discipline: do not run concurrently with a pinned reader."""
+        manifests = sorted((self.root / "manifests").glob("v*.json"))
+        expired = manifests[:-keep_manifests] if keep_manifests > 0 else []
+        retained = [m for m in manifests if m not in set(expired)]
+        referenced: set[str] = set()
+        for m in retained:
+            doc = json.loads(m.read_text())
+            for files in doc.get("buckets", {}).values():
+                referenced.update(str(pathlib.Path(f).resolve()) for f in files)
+            for dsets in doc.get("deltas", {}).values():
+                for files in dsets:
+                    referenced.update(str(pathlib.Path(f).resolve()) for f in files)
         removed = 0
         data = self.root / "data"
         for p in sorted(data.rglob("*"), reverse=True):
-            if p.is_file() and str(p) not in referenced:
+            if p.is_file() and str(p.resolve()) not in referenced:
                 p.unlink()
                 removed += 1
             elif p.is_dir():
@@ -355,8 +450,6 @@ class HashLakeTable:
                     p.rmdir()  # only empties fall
                 except OSError:
                     pass
-        manifests = sorted((self.root / "manifests").glob("v*.json"))
-        expired = manifests[:-keep_manifests] if keep_manifests > 0 else []
         for m in expired:
             m.unlink()
         return {"removed_files": removed, "expired_manifests": len(expired)}

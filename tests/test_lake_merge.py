@@ -119,6 +119,112 @@ def test_salted_lww_same_result(spark, lake):
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
 
 
+def _data_bytes(lake) -> int:
+    import pathlib
+
+    data = pathlib.Path(lake.root) / "data"
+    return sum(p.stat().st_size for p in data.rglob("*") if p.is_file())
+
+
+def test_merge_on_read_write_amplification_bounded(spark, lake):
+    """North-rule scale property: a delta commit writes ∝ batch bytes,
+    NOT table bytes (the round-1 COW design rewrote every touched
+    bucket per commit)."""
+    big = gen_events_pandas(0, 5000, seed=11, n_docs=400)
+    lake.merge(prepare_batch(_spark_events(spark, big)), 0, auto_compact_deltas=100)
+    table_bytes = _data_bytes(lake)
+    one = gen_events_pandas(50_000, 1, seed=12, n_docs=400)
+    before = _data_bytes(lake)
+    lake.merge(prepare_batch(_spark_events(spark, one)), 1, auto_compact_deltas=100)
+    delta_bytes = _data_bytes(lake) - before
+    # a 1-event delta commit must be orders of magnitude below the table
+    assert delta_bytes < table_bytes / 10, (delta_bytes, table_bytes)
+
+
+def test_compact_folds_deltas_preserves_state(spark, lake):
+    events = gen_events_pandas(0, 3000, seed=13, n_docs=150)
+    for bid, start in enumerate(range(0, 3000, 500)):
+        chunk = events.iloc[start : start + 500]
+        lake.merge(
+            prepare_batch(_spark_events(spark, chunk)), bid, auto_compact_deltas=100
+        )
+    assert any(lake.snapshot()["deltas"].values())
+    expected = oracle_reduce(events)
+    r = lake.compact()
+    assert r["compacted_buckets"] > 0
+    assert not any(lake.snapshot()["deltas"].values())
+    assert_pdf_equal(lake.read().toPandas(), expected)
+    # and the table still merges after compaction
+    more = gen_events_pandas(9000, 100, seed=14, n_docs=150)
+    lake.merge(prepare_batch(_spark_events(spark, more)), 99)
+    assert_pdf_equal(
+        lake.read().toPandas(),
+        oracle_reduce(pd.concat([events, more], ignore_index=True)),
+    )
+
+
+def test_auto_compact_triggers_at_threshold(spark, lake):
+    events = gen_events_pandas(0, 1200, seed=15, n_docs=20)  # few docs → few buckets
+    compactions = 0
+    for bid, start in enumerate(range(0, 1200, 200)):
+        chunk = events.iloc[start : start + 200]
+        r = lake.merge(
+            prepare_batch(_spark_events(spark, chunk)), bid, auto_compact_deltas=3
+        )
+        compactions += r.get("compacted_buckets", 0)
+    assert compactions > 0
+    deltas = lake.snapshot()["deltas"]
+    assert all(len(d) < 3 + 1 for d in deltas.values())
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_lww_auto_count_strategy(spark, lake):
+    """auto_count picks shuffle_hash above the key threshold and
+    broadcast below it — same result either way."""
+    from investigraph_etl_spark.operators.lww import lww_dedup
+
+    events = gen_events_pandas(0, 2000, seed=16, n_docs=300)
+    df = _spark_events(spark, events)
+    small = lww_dedup(df, "doc_id", "event_sequence", winners_strategy="auto_count")
+    forced = lww_dedup(
+        df,
+        "doc_id",
+        "event_sequence",
+        winners_strategy="auto_count",
+        auto_count_max_keys=10,  # force the shuffle_hash branch
+    )
+    a = {r["doc_id"]: r["event_sequence"] for r in small.collect()}
+    b = {r["doc_id"]: r["event_sequence"] for r in forced.collect()}
+    assert a == b and len(a) > 200
+
+
+def test_vacuum_time_travel_to_retained_manifest(spark, lake):
+    """Vacuum must keep every file referenced by any RETAINED manifest,
+    and resolve paths before comparing (symlink/relative spellings)."""
+    import json
+    import pathlib
+
+    events = gen_events_pandas(0, 2000, seed=17, n_docs=100)
+    for bid, start in enumerate(range(0, 2000, 400)):
+        lake.merge(
+            prepare_batch(_spark_events(spark, events.iloc[start : start + 400])),
+            bid,
+            auto_compact_deltas=2,  # force compactions → superseded files
+        )
+    lake.vacuum(keep_manifests=3)
+    # every retained manifest's file set must still exist on disk
+    for m in sorted((pathlib.Path(lake.root) / "manifests").glob("v*.json"))[-3:]:
+        doc = json.loads(m.read_text())
+        for files in doc.get("buckets", {}).values():
+            for f in files:
+                assert pathlib.Path(f).exists(), f
+        for dsets in doc.get("deltas", {}).values():
+            for files in dsets:
+                for f in files:
+                    assert pathlib.Path(f).exists(), f
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
 def test_vacuum_reclaims_superseded_files_preserves_state(spark, lake):
     events = gen_events_pandas(0, 3000, seed=7, n_docs=100)
     for bid, start in enumerate(range(0, 3000, 600)):

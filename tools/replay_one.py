@@ -1,10 +1,15 @@
 """Measure CDC replay throughput at a given core count, isolated in a
 fresh process (fresh JVM — JIT state cannot leak between core counts).
 
-Usage: python tools/replay_one.py <cores> <log_dir> <work_dir> <n_events> [reps]
+Usage: python tools/replay_one.py <cores> <log_dir> <work_dir> <n_events> \
+           [reps] [batches]
 Prints one JSON line with all rep times and the min (the sandbox host
 shows multi-second scheduling stalls at random moments — min-of-N is
 the sustained-capability estimate; all samples are reported).
+
+``batches`` > 1 replays the log as that many sequential merge commits
+into ONE lake (the sustained incremental-ingest shape; exercises the
+merge-on-read delta path + auto-compaction) instead of one bulk merge.
 
 A warmup replay (100k events) runs first so JIT compilation does not
 contaminate rep 1.
@@ -37,6 +42,7 @@ def main() -> None:
         int(sys.argv[4]),
     )
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    batches = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     spark = get_spark(
         f"replay{cores}",
         master=f"local[{cores}]",
@@ -54,14 +60,25 @@ def main() -> None:
         prepare_batch(spark.read.schema(change_schema()).parquet(warm_log)), 0
     )
 
-    events = spark.read.schema(change_schema()).parquet(log_dir)
+    import pathlib
+
+    chunk_files = sorted(str(p) for p in pathlib.Path(log_dir).glob("*.parquet"))
+    groups: list[list[str]]
+    if batches <= 1 or len(chunk_files) < batches:
+        groups = [chunk_files]
+    else:
+        per = (len(chunk_files) + batches - 1) // batches
+        groups = [chunk_files[i : i + per] for i in range(0, len(chunk_files), per)]
+
     times, final_rows = [], None
     for i in range(reps):
-        d = f"{work}/lake_{cores}_{i}"
+        d = f"{work}/lake_{cores}_b{batches}_{i}"
         shutil.rmtree(d, ignore_errors=True)
         lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=32)
         t0 = time.monotonic()
-        lake.merge(prepare_batch(events), 0)
+        for bid, group in enumerate(groups):
+            batch = spark.read.schema(change_schema()).parquet(*group)
+            lake.merge(prepare_batch(batch), bid)
         times.append(round(time.monotonic() - t0, 2))
         if final_rows is None:
             final_rows = lake.read().count()
@@ -70,6 +87,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": cores,
+                "batches": len(groups),
                 "times": times,
                 "seconds": best,
                 "events_per_sec": round(n_events / best, 1),
