@@ -64,3 +64,34 @@ def make_data_checksum(*cols: Column) -> Column:
     """Stable content checksum of a row slice — cache keys (reference
     make_data_checksum / Source.checksum, model/source.py:42-44)."""
     return F.sha2(F.to_json(F.struct(*cols)), 256)
+
+
+def slugify_string(value: str) -> str:
+    """Driver-side slugify twin (same rules as :func:`slugify`)."""
+    import re
+
+    s = re.sub(r"[^a-z0-9]+", "-", str(value).lower()).strip("-")
+    return s or ""
+
+
+def slugified_dict(data: dict) -> dict:
+    """Rename dict keys to slug form with ``_`` separators — the
+    reference's header-normalization helper
+    (/root/reference/investigraph/util.py:25-26: ``slugified_dict``).
+    Messy source headers ("Short name ", "URL  name") become stable
+    snake_case property references."""
+    return {slugify_string(k).replace("-", "_"): v for k, v in data.items()}
+
+
+def slugify_columns(df, *, separator: str = "_"):
+    """DataFrame twin of :func:`slugified_dict`: rename every column to
+    its slug (metadata-only — ``withColumnsRenamed`` touches no data).
+    Collisions keep the first column's name and suffix later ones."""
+    seen: dict[str, int] = {}
+    renames: dict[str, str] = {}
+    for c in df.columns:
+        slug = slugify_string(c).replace("-", separator) or "col"
+        n = seen.get(slug, 0)
+        seen[slug] = n + 1
+        renames[c] = slug if n == 0 else f"{slug}{separator}{n}"
+    return df.withColumnsRenamed(renames)

@@ -80,6 +80,74 @@ def entity_statements(
     return rows
 
 
+def apply_custom_extract(
+    spark,
+    fn: Callable | str,
+    sources: list | None = None,
+    *,
+    schema: StructType | str | None = None,
+    sample_source_ix: int = 0,
+) -> DataFrame:
+    """Custom *extract* plug-point (reference ``ExtractStage.handle(ctx)
+    -> RecordGenerator``, model/stage.py:61-73; fixture
+    tests/fixtures/custom.py:16-19): a registered handler *produces*
+    records instead of the built-in readers.
+
+    Spark translation: one task per source — the source descriptors
+    (uri, name, options) are parallelized, and each executor runs
+    ``handler(source_dict)`` inside ``mapInPandas``, yielding record
+    dicts that become rows.  Handlers therefore run cluster-side and in
+    parallel across sources; a single-source extract degrades to one
+    task (exactly the reference's single-process behavior).
+
+    ``schema``: output schema; if None, the handler runs once
+    driver-side against ``sources[sample_source_ix]`` to discover the
+    column set (all strings — the reference's extract yields CSV-style
+    dicts).  Pass an explicit schema for typed or non-uniform output.
+    """
+    handler = resolve_handler(fn) if isinstance(fn, str) else fn
+    descs = [
+        {
+            "uri": getattr(s, "uri", None) or s.get("uri"),
+            "name": getattr(s, "name", None)
+            or (s.get("name") if isinstance(s, dict) else None),
+        }
+        for s in (sources or [{}])
+    ]
+    if schema is None:
+        first = next(iter(handler(descs[sample_source_ix])), None)
+        if first is None:
+            raise ValueError(
+                "custom extract produced no records for schema discovery; "
+                "pass schema= explicitly"
+            )
+        schema = StructType(
+            [StructField(k, StringType(), True) for k in first]
+        )
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    out_cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for desc in pdf.to_dict("records"):
+                recs = [
+                    {c: r.get(c) for c in out_cols} for r in handler(desc)
+                ]
+                yield (
+                    pd.DataFrame(recs, columns=out_cols)
+                    if recs
+                    else pd.DataFrame(columns=out_cols)
+                )
+
+    src = spark.createDataFrame(
+        pd.DataFrame(descs), schema="uri string, name string"
+    ).repartition(len(descs))
+    return src.mapInPandas(run, schema)
+
+
 def apply_custom_transform(
     records: DataFrame,
     fn: TransformFn | str,

@@ -109,14 +109,25 @@ class QueryMapping:
     filters_not: dict[str, str] = field(default_factory=dict)
 
     @classmethod
-    def from_dict(cls, spec: dict) -> QueryMapping:
+    def from_dict(
+        cls, spec: dict, *, validate: bool = True, extra_schemata: set[str] | None = None
+    ) -> QueryMapping:
+        """Parse the reference's YAML query shape.  ``validate`` checks
+        each entity's schema against the FtM vocabulary at parse time
+        (reference mapping.py:32) so typos fail fast instead of
+        flowing into the statement store."""
+        from investigraph_etl_spark.functions.ftm import validate_schema
+
         ents = {}
         for name, e in spec.get("entities", {}).items():
             props = {
                 p: PropertyMapping(**pm) for p, pm in e.get("properties", {}).items()
             }
+            schema = e["schema"]
+            if validate:
+                validate_schema(schema, extra=extra_schemata)
             ents[name] = EntityMapping(
-                schema=e["schema"],
+                schema=schema,
                 key=e.get("key"),
                 keys=list(e.get("keys", [])),
                 key_literal=e.get("key_literal"),

@@ -1,0 +1,235 @@
+"""YAML pipeline config + runner (SURVEY.md §2.1; VERDICT round-1
+missing item #1).
+
+The reference's primary UX is ``investigraph run -c config.yml``: one
+YAML ties the five stages together — seed → extract → transform →
+load → export (/root/reference/investigraph/model/config.py:27-88;
+CLI /root/reference/investigraph/cli.py).  Round 1 shipped every stage
+as a Python API but no config loader, so a user had to hand-assemble
+the pipeline; this module closes that gap with the same YAML shape:
+
+.. code-block:: yaml
+
+    name: eu_authorities
+    prefix: eu-authorities
+    extract:
+      sources:
+        - uri: ./all-authorities.csv
+          pandas: {skiprows: 0}
+    transform:
+      queries:
+        - entities:
+            body:
+              schema: PublicBody
+              key: URL name
+              properties: {...}
+    load:
+      uri: ./out/statements.parquet
+    export:
+      entities_uri: ./out/entities.ftm.json
+      index_uri: ./out/index.json
+
+Custom stage handlers keep the reference's ``module:func`` /
+``path.py:func`` convention (seed / extract / transform), resolved via
+:func:`investigraph_etl_spark.plans.custom.resolve_handler`.
+
+Everything materializes as ONE Spark plan per stage: sources are read
+and unioned (schema-merged by column name), mapping queries compile to
+column expressions, statements write as parquet, entities export as
+line-delimited FtM JSON — no driver-side record loops anywhere except
+explicitly driver-side handler plug-ins.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from investigraph_etl_spark.plans.mapping import (
+    QueryMapping,
+    compile_statements,
+    entities_from_statements,
+)
+from investigraph_etl_spark.sources.readers import Source, read_source, seed_sources
+
+
+@dataclass
+class PipelineConfig:
+    """Parsed config (reference Config, model/config.py:27-36)."""
+
+    name: str
+    prefix: str | None = None
+    base_path: str = "."
+    seed_glob: str | None = None
+    seed_exclude: str | None = None
+    seed_handler: str | None = None
+    sources: list[Source] = field(default_factory=list)
+    extract_handler: str | None = None
+    queries: list[QueryMapping] = field(default_factory=list)
+    transform_handler: str | None = None
+    load_uri: str | None = None
+    entities_uri: str | None = None
+    index_uri: str | None = None
+    record_limit: int | None = None
+
+    @property
+    def id_prefix(self) -> str:
+        return self.prefix or self.name
+
+
+def _abs(base: pathlib.Path, uri: str) -> str:
+    p = pathlib.Path(uri)
+    return str(p if p.is_absolute() or "://" in uri else base / p)
+
+
+def load_config(path: str, *, validate_schemata: bool = True) -> PipelineConfig:
+    """Parse a reference-shaped YAML config file.  Relative source /
+    output uris resolve against the config file's directory (reference
+    ``Config.__init__`` base_path handling, config.py:40-44); relative
+    ``.py`` handlers likewise (config.py:55-68)."""
+    import yaml
+
+    p = pathlib.Path(path)
+    base = p.parent.resolve()
+    doc = yaml.safe_load(p.read_text()) or {}
+
+    def handler(stage: dict) -> str | None:
+        h = stage.get("handler")
+        if h and h.rpartition(":")[0].endswith(".py"):
+            mod, _, fn = h.rpartition(":")
+            return f"{_abs(base, mod)}:{fn}"
+        return h
+
+    seed = doc.get("seed", {}) or {}
+    extract = doc.get("extract", {}) or {}
+    transform = doc.get("transform", {}) or {}
+    load = doc.get("load", {}) or {}
+    if isinstance(load, str):
+        load = {"uri": load}
+    export = doc.get("export", {}) or {}
+
+    sources = []
+    for s in extract.get("sources", []) or []:
+        opts = dict(s.get("pandas", {}) or {})
+        sources.append(
+            Source(
+                uri=_abs(base, s["uri"]),
+                name=s.get("name"),
+                options=opts,
+                limit=s.get("limit"),
+                slug_columns=bool(s.get("slug_columns", False)),
+            )
+        )
+    queries = [
+        QueryMapping.from_dict(q, validate=validate_schemata)
+        for q in transform.get("queries", []) or []
+    ]
+    return PipelineConfig(
+        name=doc["name"],
+        prefix=doc.get("prefix"),
+        base_path=str(base),
+        seed_glob=seed.get("glob"),
+        seed_exclude=seed.get("exclude"),
+        seed_handler=handler(seed),
+        sources=sources,
+        extract_handler=handler(extract),
+        queries=queries,
+        transform_handler=handler(transform),
+        load_uri=_abs(base, load["uri"]) if load.get("uri") else None,
+        entities_uri=(
+            _abs(base, export["entities_uri"]) if export.get("entities_uri") else None
+        ),
+        index_uri=_abs(base, export["index_uri"]) if export.get("index_uri") else None,
+        record_limit=doc.get("record_limit"),
+    )
+
+
+def extract_records(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """Seed + extract: one unioned DataFrame of all sources' records.
+
+    Precedence mirrors the reference's stage dispatch
+    (model/stage.py:61-83): a custom extract handler wins; otherwise
+    the built-in readers run per source (seeded from glob when
+    configured) and union by column name (missing columns null)."""
+    from investigraph_etl_spark.plans.custom import apply_custom_extract, resolve_handler
+
+    sources = list(cfg.sources)
+    if cfg.seed_handler:
+        sources += [
+            s if isinstance(s, Source) else Source(**s)
+            for s in resolve_handler(cfg.seed_handler)({"name": cfg.name})
+        ]
+    if cfg.seed_glob:
+        sources += seed_sources(
+            str(pathlib.Path(cfg.base_path)),
+            pattern=cfg.seed_glob,
+            exclude=cfg.seed_exclude,
+        )
+    if cfg.extract_handler:
+        df = apply_custom_extract(spark, cfg.extract_handler, sources)
+    else:
+        if not sources:
+            raise ValueError(f"config {cfg.name}: no sources configured or seeded")
+        frames = [read_source(spark, s) for s in sources]
+        df = frames[0]
+        for other in frames[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+    if cfg.record_limit is not None:
+        df = df.limit(cfg.record_limit)
+    return df
+
+
+def transform_statements(records: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Transform: declarative mapping queries (compiled to column
+    expressions) or a custom record→statements handler (Arrow-batched
+    UDTF)."""
+    from investigraph_etl_spark.plans.custom import apply_custom_transform
+
+    if cfg.transform_handler:
+        return apply_custom_transform(records, cfg.transform_handler)
+    if not cfg.queries:
+        raise ValueError(f"config {cfg.name}: no transform queries or handler")
+    outs = [
+        compile_statements(records, q, dataset=cfg.name, prefix=cfg.id_prefix)
+        for q in cfg.queries
+    ]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig | str, *, limit: int | None = None
+) -> dict:
+    """Execute the full pipeline; returns run stats (the reference CLI
+    prints the same shape after ``investigraph run``)."""
+    from investigraph_etl_spark.plans.stats import (
+        dataset_stats,
+        export_entities_json,
+        write_index_json,
+    )
+
+    if isinstance(cfg, str):
+        cfg = load_config(cfg)
+    records = extract_records(spark, cfg)
+    if limit is not None:
+        records = records.limit(limit)
+    statements = transform_statements(records, cfg)
+    if cfg.load_uri:
+        statements.write.mode("overwrite").parquet(cfg.load_uri)
+        statements = spark.read.parquet(cfg.load_uri)  # reuse materialization
+    entities = entities_from_statements(statements)
+    out = {"dataset": cfg.name}
+    if cfg.entities_uri:
+        out["entities"] = export_entities_json(entities, cfg.entities_uri)
+    else:
+        out["entities"] = entities.count()
+    stats = dataset_stats(statements)
+    if cfg.index_uri:
+        write_index_json(stats, cfg.index_uri, cfg.name)
+    out["statements"] = stats["statement_count"]
+    out["schemata"] = stats["schemata"]
+    return out

@@ -5,6 +5,8 @@
         --changelog /data/binlog --lake /data/lake --checkpoint /ckpt
 
 Subcommands:
+  ``run``     — full YAML-config pipeline: extract → transform →
+                load → export (the reference's ``investigraph run -c``)
   ``replay``  — batch replay of a changelog directory into the lake
   ``tail``    — streaming tailer (``--follow`` keeps running;
                 default drains available files and exits)
@@ -28,9 +30,11 @@ from investigraph_etl_spark.streaming.tailer import (
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="investigraph_etl_spark")
-    p.add_argument("command", choices=["replay", "tail", "export"])
+    p.add_argument("command", choices=["run", "replay", "tail", "export"])
+    p.add_argument("-c", "--config", help="pipeline YAML (run)")
+    p.add_argument("-l", "--limit", type=int, help="record limit (run)")
     p.add_argument("--changelog", help="binlog/WAL directory (parquet chunks)")
-    p.add_argument("--lake", required=True, help="lake table root")
+    p.add_argument("--lake", help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (tail)")
     p.add_argument("--out", help="output dir (export)")
     p.add_argument("--master", default=None)
@@ -43,6 +47,17 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     spark = get_spark("investigraph_etl_spark", master=args.master)
+
+    if args.command == "run":
+        from investigraph_etl_spark.plans.pipeline import run_pipeline
+
+        if not args.config:
+            p.error("run requires -c/--config")
+        print(json.dumps(run_pipeline(spark, args.config, limit=args.limit)))
+        return
+
+    if not args.lake:
+        p.error(f"{args.command} requires --lake")
     lake = HashLakeTable.create(
         spark,
         args.lake,

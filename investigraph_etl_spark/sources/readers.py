@@ -26,12 +26,19 @@ from pyspark.sql import functions as F
 
 @dataclass
 class Source:
-    """A discovered/configured source (reference model/source.py:11-49)."""
+    """A discovered/configured source (reference model/source.py:11-49).
+
+    ``limit`` caps records read from this source (reference ``-l`` /
+    ``Context.record_limit``, context.py:282-284); ``slug_columns``
+    renames headers to snake_case on read (reference ``slugified_dict``
+    over record keys, util.py:25-26)."""
 
     uri: str
     name: str | None = None
     # pandas-spec subset the reference exercises (gdho/ec_meetings)
     options: dict = field(default_factory=dict)
+    limit: int | None = None
+    slug_columns: bool = False
 
     def __post_init__(self) -> None:
         if self.name is None:
@@ -81,6 +88,14 @@ def read_source(spark: SparkSession, source: Source) -> DataFrame:
         df = spark.read.parquet(source.uri)
     else:
         df = _read_csv(spark, source, opts)
+    if source.slug_columns:
+        from investigraph_etl_spark.functions.ids import slugify_columns
+
+        df = slugify_columns(df)
+    if source.limit is not None:
+        # P9 record limit: Catalyst pushes LocalLimit below the stamp
+        # projection into the scan — no full read happens
+        df = df.limit(source.limit)
     return df.withColumn("__source__", F.lit(source.name))
 
 

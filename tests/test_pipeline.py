@@ -1,0 +1,157 @@
+"""YAML pipeline runner end-to-end (VERDICT round-1 items 5/6/10):
+config-driven extract → transform → load → export reproducing the
+reference's golden eu_authorities run; custom extract plug-point
+mirroring /root/reference/tests/fixtures/custom.py:16-19; FtM schema
+validation; per-source limit + header slugification."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import textwrap
+
+import pytest
+
+from investigraph_etl_spark.plans.pipeline import load_config, run_pipeline
+
+REF = pathlib.Path("/root/reference/tests/fixtures")
+CSV = REF / "all-authorities.csv"
+
+
+def _write_eu_config(tmp_path: pathlib.Path) -> pathlib.Path:
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            name: eu_authorities
+            prefix: eu-authorities
+            extract:
+              sources:
+                - uri: {CSV}
+                  pandas: {{multiline: true}}
+            transform:
+              queries:
+                - entities:
+                    body:
+                      schema: PublicBody
+                      key: URL name
+                      properties:
+                        name: {{column: Name}}
+                        weakAlias: {{column: Short name}}
+                        description: {{column: Notes}}
+                        keywords: {{column: Tags, split: " "}}
+                        legalForm: {{column: Tags, split: " "}}
+                        website: {{column: Home page, type: url}}
+                        jurisdiction: {{literal: eu}}
+                        sourceUrl:
+                          template: "https://www.asktheeu.org/en/body/{{{{URL name}}}}"
+            load:
+              uri: out/statements.parquet
+            export:
+              entities_uri: out/entities.ftm.json
+              index_uri: out/index.json
+            """
+        )
+    )
+    return cfg
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_yaml_pipeline_eu_authorities_golden(spark, tmp_path):
+    cfg_path = _write_eu_config(tmp_path)
+    cfg = load_config(str(cfg_path))
+    assert cfg.name == "eu_authorities" and len(cfg.queries) == 1
+    out = run_pipeline(spark, cfg)
+    assert out["entities"] == 151  # reference golden count
+    assert out["schemata"] == [{"name": "PublicBody", "count": 151}]
+    # artifacts landed where the config pointed (relative → config dir)
+    assert (tmp_path / "out" / "index.json").exists()
+    idx = json.loads((tmp_path / "out" / "index.json").read_text())
+    assert idx["entity_count"] == 151
+    lines = [
+        json.loads(line)
+        for p in (tmp_path / "out" / "entities.ftm.json").glob("part-*")
+        for line in p.read_text().splitlines()
+    ]
+    assert len(lines) == 151
+    golden_path = REF / "eu_authorities.ftm.json"
+    golden_ids = {
+        json.loads(line)["id"] for line in golden_path.read_text().splitlines()
+    }
+    assert {e["id"] for e in lines} == golden_ids
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_custom_extract_handler_through_pipeline(spark, tmp_path):
+    """Mirror of the reference custom-extract fixture
+    (tests/fixtures/custom.py:16-19: ``extract`` yields csv.DictReader
+    rows) driven through the statement pipeline."""
+    handler = tmp_path / "my_extract.py"
+    handler.write_text(
+        textwrap.dedent(
+            f"""
+            import csv
+
+            def extract(source):
+                with open({str(CSV)!r}, newline="") as fh:
+                    yield from csv.DictReader(fh)
+            """
+        )
+    )
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            name: eu_custom
+            prefix: eu-authorities
+            extract:
+              handler: ./my_extract.py:extract
+            transform:
+              queries:
+                - entities:
+                    body:
+                      schema: PublicBody
+                      key: URL name
+                      properties:
+                        name: {{column: Name}}
+            """
+        )
+    )
+    out = run_pipeline(spark, str(cfg))
+    assert out["entities"] == 151
+
+
+def test_unknown_ftm_schema_rejected(tmp_path):
+    from investigraph_etl_spark.functions.ftm import UnknownSchemaError
+    from investigraph_etl_spark.plans.mapping import QueryMapping
+
+    bad = {"entities": {"x": {"schema": "PubicBody", "key": "a", "properties": {}}}}
+    with pytest.raises(UnknownSchemaError):
+        QueryMapping.from_dict(bad)
+    # lenient / custom vocabularies still available
+    QueryMapping.from_dict(bad, validate=False)
+    QueryMapping.from_dict(bad, extra_schemata={"PubicBody"})
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_source_limit_and_slug_columns(spark):
+    from investigraph_etl_spark.sources.readers import Source, read_source
+
+    src = Source(
+        uri=str(CSV),
+        options={"multiline": True},
+        limit=10,
+        slug_columns=True,
+    )
+    df = read_source(spark, src)
+    assert df.count() == 10
+    assert "url_name" in df.columns and "short_name" in df.columns
+
+
+def test_slugified_dict():
+    from investigraph_etl_spark.functions.ids import slugified_dict
+
+    assert slugified_dict({"Short name ": 1, "URL  name": 2}) == {
+        "short_name": 1,
+        "url_name": 2,
+    }
