@@ -452,6 +452,46 @@ def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup EDGES for the clustering queries: docs
+    grouped by ``n_chars % 16``, consecutive doc_ids within each group
+    linked as a chain.  A chain (not a clique) forces the connected-
+    components pass to do real transitive closure, and group-min is a
+    plain SQL oracle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 16).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        d.select(
+            F.lag("doc_id").over(w).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+        .filter(F.col("id_a").isNotNull())
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering (large-star/small-star
+    map-reduce CC): near-dup pair EDGES → (id, canonical_id) CLUSTERS.
+    Real pipelines feed minhash/simhash/embedding pairs (recall covered
+    in pytest); the driver query uses chain edges so DuckDB can oracle
+    the transitive closure as a group-min."""
+    from investigraph_etl_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(_chain_pairs(spark, sf_dir))
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: keep one canonical doc per cluster,
+    singletons untouched (pairs → clusters → anti-join drop set)."""
+    from investigraph_etl_spark.operators.dedup import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_keep_canonical(docs, _chain_pairs(spark, sf_dir))
+    return kept.select("doc_id", "n_chars")
+
+
 def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine end-to-end: synthesize a deterministic changelog,
     stream it through normalize→LWW→lake MERGE, return the final table.
@@ -515,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_schema_counts": q_entity_schema_counts,
         "events_per_day": q_events_per_day,
         "topk_events_per_user": q_topk_events_per_user,
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -723,6 +765,21 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY value DESC, event_id ASC) AS rank
               FROM events
             ) WHERE rank <= 2
+        """,
+        "dup_clusters": """
+            WITH g AS (SELECT doc_id, n_chars % 16 AS grp FROM documents),
+                 m AS (SELECT grp, MIN(doc_id) AS mn, COUNT(*) AS c
+                       FROM g GROUP BY grp)
+            SELECT g.doc_id AS id, m.mn AS canonical_id
+            FROM g JOIN m USING (grp) WHERE m.c > 1
+        """,
+        "dedup_canonical": """
+            WITH g AS (SELECT doc_id, n_chars, n_chars % 16 AS grp FROM documents),
+                 m AS (SELECT grp, MIN(doc_id) AS mn, COUNT(*) AS c
+                       FROM g GROUP BY grp)
+            SELECT g.doc_id, g.n_chars
+            FROM g JOIN m USING (grp)
+            WHERE g.doc_id = m.mn OR m.c = 1
         """,
         "knn_bruteforce": """
             SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (

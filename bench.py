@@ -217,11 +217,12 @@ def write_bench_md(result: dict) -> None:
         "## CDC merge-apply throughput & scaling (north rule)",
         "",
         "Same job, same input, two parallelism levels — the sandbox proxy",
-        "for N vs 4N executor clusters.  The pair sits at the bottom of",
-        "the parallelism range because thread scaling ≠ executor scaling:",
-        "every added cluster node brings its own memory bandwidth, while",
-        "added threads share one bus — see the isolation experiment below",
-        "for the measurement backing that claim.",
+        "for N vs 4N executor clusters.  The (1,4) pair is the lowest",
+        "true 4× pair this host offers: it leaves the most headroom",
+        "against co-tenant hypervisor steal, and the isolation",
+        "experiment below tests (rather than assumes) whether thread",
+        "scaling at higher counts is capped by shared per-process",
+        "resources.",
         "",
         "| parallelism | seconds (min of reps) | all reps | events/sec |",
         "|---|---|---|---|",
@@ -237,9 +238,13 @@ def write_bench_md(result: dict) -> None:
         "Same replay, same total core budget: ONE 8-thread JVM vs TWO",
         "concurrent 4-thread JVMs (separate processes = separate GC,",
         "allocator, and JIT — the closest single-host stand-in for two",
-        "executors).  If threads shared nothing, the ratio would be 1.0;",
-        "a ratio > 1 quantifies how much per-process contention (not",
-        "algorithmic serialization) caps thread scaling on one box:",
+        "executors).  Ratio > 1 would mean per-process contention caps",
+        "thread scaling (the round-1 memory-bus hypothesis); ratio < 1",
+        "means shared-process wins (one page cache, one JIT, no",
+        "duplicated scan) outweigh contention at this core count — i.e.",
+        "thread scaling is NOT resource-capped yet, and the engine's",
+        "scaling pair stands on its own measurement rather than on the",
+        "bus argument:",
         "",
         f"- 1 × local[8]: {iso['one_process_8_threads_events_per_sec']:,} events/s",
         f"- 2 × local[4] concurrent: {iso['two_processes_4_threads_each_events_per_sec']:,} "

@@ -414,3 +414,126 @@ def simhash_near_dup_pairs(
             )
 
     return buckets.mapInPandas(_verify, schema=out_schema)
+
+
+# ----------------------------------------------------- dup clustering
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, canonical_id)``.
+
+    Pair generators (exact / MinHash / SimHash / embedding) emit EDGES;
+    an actual dedup pass needs CLUSTERS — transitive closure with one
+    canonical survivor per component (the min id, deterministic).  This
+    is the alternating "large-star / small-star" map-reduce connected
+    components algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) expressed in DataFrame ops:
+
+    * large-star: for each node, connect every strictly-larger neighbor
+      to the node's minimum neighborhood label;
+    * small-star: connect every ≤ neighbors to the minimum label.
+
+    Each round is two hash-agg + join rounds (no sorts); the edge set
+    contracts toward star graphs in O(log n) rounds for real-world
+    graphs.  Convergence is checked with a count of changed edges —
+    one action per round, matching Spark's iterative-algorithm idiom
+    (driver loop over lazily-built plans, localCheckpoint truncating
+    lineage so the plan doesn't grow exponentially).
+
+    Only nodes appearing in ``pairs`` are returned; singleton docs are
+    their own canonical by construction (left anti-join them in the
+    caller if a full map is needed).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # undirected → ensure u < v ordering for stable semantics
+    edges = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # ---- large-star: emit (v, min(N+(u))) for neighbors v > u
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.select(
+            "u", F.least("u", "m").alias("m")
+        )  # label never exceeds self
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output
+        both2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("u") > F.col("v"))
+        mins2 = both2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            both2.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .unionByName(mins2.select(F.col("m").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        # converged when the edge set stops changing.  Compared via a
+        # (count, xor-of-edge-hashes) fingerprint — ONE narrow agg job
+        # per round instead of two exceptAll shuffles of the full edge
+        # set; a 64-bit collision on unequal sets is astronomically
+        # unlikely and at worst stops one round early on an
+        # already-star-shaped graph.  bit_xor, not sum: ANSI mode makes
+        # a long sum overflow-throwing.
+        def _fp(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            return (r["n"], r["h"])
+
+        if _fp(new_edges) == _fp(edges):
+            edges = new_edges
+            break
+        edges = new_edges
+
+    members = edges.select(F.col("v").alias("id"), F.col("u").alias("canonical_id"))
+    roots = edges.select(F.col("u").alias("id")).distinct()
+    roots = roots.join(
+        members.select(F.col("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("canonical_id"))
+    return members.unionByName(roots).distinct()
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter ``df`` down to one canonical row per near-dup cluster —
+    the end-to-end dedup pass a training pipeline runs: pair generator
+    → :func:`dup_clusters` → keep rows whose id IS its cluster's
+    canonical (min id), plus all singleton rows untouched by any pair.
+    One broadcast-able join: the drop set is only the non-canonical
+    members (≤ #duplicates, far smaller than the corpus)."""
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("canonical_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> None:
             prepare_batch(events),
             lake.last_committed() + 1,
             salt_buckets=args.salt_buckets,
+            # bulk replays can carry 10^7+ distinct keys — size the
+            # winner semi-join instead of forcing broadcast (VERDICT #7)
+            winners_strategy="auto_count",
         )
         print(json.dumps(stats))
     elif args.command == "tail":

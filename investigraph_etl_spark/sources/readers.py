@@ -110,20 +110,25 @@ def _read_csv(spark: SparkSession, source: Source, opts: dict) -> DataFrame:
         reader = reader.option("inferSchema", False)  # strings by default
     skip = int(opts.get("skiprows", 0))
     if skip:
-        # Spark CSV has no skiprows; drop the first N physical lines
-        # via a text pre-pass (keeps the plan distributed: zipWithIndex
-        # only on the tiny head partition boundary)
-        text = spark.read.text(source.uri)
-        w = F.monotonically_increasing_id()
+        # Spark CSV has no skiprows; rewrite the file without the first
+        # N physical lines, preserving order.  coalesce(1) is REQUIRED
+        # for correctness here, not a perf accident: line order (and
+        # hence monotonically_increasing_id) is only global on a single
+        # partition.  This is fine for the reference's use of skiprows
+        # (junk preamble in small hand-maintained CSVs, e.g. the gdho
+        # fixture); for a BIG csv with a preamble, strip the head once
+        # out-of-band instead — a distributed order-preserving line
+        # drop would force a global sort for no benefit.
+        text = spark.read.text(source.uri).coalesce(1)
         body = (
-            text.withColumn("_i", w)
+            text.withColumn("_i", F.monotonically_increasing_id())
             .filter(F.col("_i") >= skip)
             .drop("_i")
         )
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="skiprows_")
-        body.coalesce(1).write.mode("overwrite").text(tmp)
+        body.write.mode("overwrite").text(tmp)
         return reader.csv(tmp)
     return reader.csv(source.uri)
 

@@ -219,3 +219,57 @@ def test_lsh_near_dup_recall_and_precision(spark, emb):
     assert got <= set(_np_cosine_pairs(vecs, 0.9 - 1e-9))
     recall = len(got & expected) / len(expected)
     assert recall >= 0.8, f"LSH near-dup recall too low: {recall}"
+
+
+def test_dup_clusters_random_graph_vs_union_find(spark):
+    """CC over random edge sets must match a driver-side union-find:
+    same components, canonical = component min."""
+    import random
+
+    from investigraph_etl_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(7)
+    n, m = 200, 150
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["canonical_id"] for r in dup_clusters(df).collect()}
+    assert got == expected
+
+
+def test_dup_clusters_long_chain(spark):
+    """A single path graph is the worst case for label propagation —
+    large-star/small-star must still converge to one component."""
+    from investigraph_etl_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(chain, "id_a int, id_b int")
+    got = {r["id"]: r["canonical_id"] for r in dup_clusters(df).collect()}
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_dedup_keep_canonical(spark, docs):
+    from investigraph_etl_spark.operators.dedup import dedup_keep_canonical
+
+    pairs = spark.createDataFrame([(0, 2), (2, 4)], "id_a int, id_b int")
+    kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # cluster {0,2,4} → canonical 0; everything else untouched
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids == (all_ids - {2, 4})
