@@ -344,14 +344,24 @@ class HashLakeTable:
             "lineage": lineage,
         }
 
-        # 6. bounded read amplification: fold any bucket at the delta
-        # threshold back into its base (same manifest commit)
-        full = [
-            int(b) for b, dsets in deltas.items() if len(dsets) >= auto_compact_deltas
-        ]
+        # 6. bounded read amplification: fold buckets at the delta
+        # threshold back into their bases (same manifest commit).
+        # Smoothed (round 2): uniform-key batches make every bucket hit
+        # the threshold on the SAME commit — compacting all of them at
+        # once is a stop-the-world full-table rewrite.  Instead compact
+        # at most num_buckets/auto_compact_deltas buckets per commit,
+        # most-behind first: steady state folds each bucket every
+        # ``auto_compact_deltas`` commits with the same amortized cost
+        # but no latency spike, and delta counts stay bounded by
+        # ~2× the threshold.
+        full = sorted(
+            (int(b) for b, dsets in deltas.items() if len(dsets) >= auto_compact_deltas),
+            key=lambda b: -len(deltas[str(b)]),
+        )
+        per_commit = max(1, self.num_buckets // max(auto_compact_deltas, 1))
         compacted = 0
         if full:
-            compacted = self._compact_into_manifest(full, out_version)
+            compacted = self._compact_into_manifest(full[:per_commit], out_version)
 
         self._write_manifest(self.root, self._manifest)
         return {

@@ -174,7 +174,9 @@ def test_auto_compact_triggers_at_threshold(spark, lake):
         compactions += r.get("compacted_buckets", 0)
     assert compactions > 0
     deltas = lake.snapshot()["deltas"]
-    assert all(len(d) < 3 + 1 for d in deltas.values())
+    # smoothed compaction folds a bounded bucket set per commit, so
+    # delta counts stay bounded by ~2× the threshold, not threshold+1
+    assert all(len(d) <= 2 * 3 for d in deltas.values())
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
 
 
