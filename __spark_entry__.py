@@ -438,6 +438,31 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 windowed aggregation: 6-hour tumbling event-time windows per
+    user segment.  Batch form of the watermark+window streaming agg
+    (the streaming twin — readStream + withWatermark + same window —
+    is exercised in tests/test_streaming.py; window semantics are
+    identical, so THIS shape is the one DuckDB can oracle)."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp_ltz"), "6 hours")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (training-pipeline staple): 2 highest-value
     events per user, deterministic tiebreak."""
@@ -557,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "events_tumbling_window": q_events_tumbling_window,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -757,6 +783,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "events_tumbling_window": """
+            SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "topk_events_per_user": """
             SELECT user_id, event_id, value, rank FROM (

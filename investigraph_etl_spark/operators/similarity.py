@@ -443,32 +443,103 @@ def lsh_near_dup_pairs(
     """Embedding near-dup pairs, scale path: candidates from
     random-hyperplane bucket collisions (any table), exact cosine
     verify ≥ threshold.  All-pairs never materializes; recall vs
-    :func:`exact_cosine_pairs` is measured in tests."""
-    b = lsh_bucket_ids(
-        embeddings, dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+    :func:`exact_cosine_pairs` is measured in tests.
+
+    Round-2 plan rewrite (the round-1 form was the slowest headline
+    query): instead of bucketize → self-join → join embeddings back
+    twice → interpreted higher-order-function cosine, ONE mapInPandas
+    pass emits (table, bucket, id, vec) rows, one groupBy gathers each
+    bucket, and a numpy kernel scores each bucket's matrix against
+    itself (normalize once, one matmul, upper triangle).  Survivors
+    (≥ threshold) are deduped across tables with a tiny distinct —
+    cosine bits are deterministic per pair, so identical across the
+    tables that re-find the pair.  The embedding rides the bucket
+    shuffle n_tables×; in exchange the candidate set (≫ survivors)
+    never crosses a shuffle at all."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    sc = embeddings.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    row_schema = StructType(
+        [
+            StructField("table_ix", LongType()),
+            StructField("bucket", LongType()),
+            StructField("id", LongType()),
+            StructField(
+                "vec", embeddings.schema[vec_col].dataType
+            ),
+        ]
     )
-    x, y = b.alias("x"), b.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.table_ix") == F.col("y.table_ix"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+
+    def bucket_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pl = bp.value  # (T, B, D)
+        weights = 1 << np.arange(pl.shape[1], dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (np.einsum("tbd,nd->tbn", pl, mat) > 0).astype(np.int64)
+            codes = np.einsum("tbn,b->tn", bits, weights)  # (T, N)
+            t = pl.shape[0]
+            yield pd.DataFrame(
+                {
+                    "table_ix": np.repeat(np.arange(t, dtype=np.int64), len(ids)),
+                    "bucket": codes.ravel(),
+                    "id": np.tile(ids, t),
+                    "vec": list(pdf[vec_col]) * t,
+                }
+            )
+
+    rows = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(
+        bucket_rows, row_schema
     )
-    pairs = (
-        cand.join(
-            embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av")),
-            "id_a",
-        )
-        .join(
-            embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv")),
-            "id_b",
-        )
-        .withColumn("cosine", _cosine_expr(F.col("_av"), F.col("_bv")))
-        .filter(F.col("cosine") >= threshold)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        rows.groupBy("table_ix", "bucket")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("entries"))
+        .repartition(par)  # CPU-heavy, byte-light: exempt from AQE coalesce
     )
-    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for entries in pdf["entries"]:
+                if len(entries) < 2:
+                    continue
+                ids = np.fromiter(
+                    (e["id"] for e in entries), dtype=np.int64, count=len(entries)
+                )
+                mat = np.stack([np.asarray(e["vec"], dtype=np.float64) for e in entries])
+                # a bucket can hold exact-duplicate ids only across
+                # tables, never within one — no intra-bucket dedup needed
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = mat @ mat.T
+                ia, ib = np.triu_indices(len(ids), 1)
+                s = sims[ia, ib]
+                ok = s >= threshold
+                if not ok.any():
+                    continue
+                a, b = ids[ia[ok]], ids[ib[ok]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                frames.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": s[ok]}))
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            )
+
+    survivors = buckets.mapInPandas(verify, out_schema).distinct()
+    return survivors.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

@@ -96,3 +96,61 @@ def test_stream_schema_evolution_mid_stream(spark, tmp_path, lake):
     _drain(q)
     assert "lang" in [f.name for f in lake.schema.fields]
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(read_changelog_pandas(log)))
+
+
+def test_windowed_agg_with_watermark_matches_batch(spark, tmp_path):
+    """T5 event-time windowed aggregation: readStream + withWatermark +
+    tumbling window (append mode) over the changelog must equal the
+    same window computed in batch, once the stream drains.  The final
+    windows are emitted because availableNow-drain closes the stream
+    (watermark advances past every window at end-of-data)."""
+    import pyspark.sql.functions as F
+
+    from investigraph_etl_spark.streaming.tailer import change_schema
+
+    log = str(tmp_path / "wlog")
+    write_changelog(log, 2000, chunk_size=250, seed=21, n_docs=150)
+
+    def windowed(df):
+        return (
+            df.withWatermark("event_time", "5 seconds")
+            .groupBy(F.window("event_time", "15 seconds").alias("w"), "op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "op", "n")
+        )
+
+    stream = (
+        spark.readStream.schema(change_schema())
+        .option("maxFilesPerTrigger", 2)
+        .parquet(log)
+    )
+    out_dir = str(tmp_path / "wout")
+    q = (
+        windowed(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["ws"], r["op"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.read.schema(change_schema()).parquet(log)
+    expected_all = {
+        (r["ws"], r["op"]): r["n"] for r in windowed(batch).collect()
+    }
+    # append mode only emits windows the final watermark has passed;
+    # every emitted window must match batch exactly, and only the
+    # trailing still-open windows may be missing
+    assert got
+    for k, v in got.items():
+        assert expected_all[k] == v, k
+    missing_ws = {ws for ws in (set(expected_all) - set(got)) for ws in [ws[0]]}
+    emitted_ws = {ws for ws, _ in got}
+    assert all(
+        ws > max(emitted_ws) for ws in missing_ws
+    ), "a closed window was not emitted"
