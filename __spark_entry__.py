@@ -438,6 +438,31 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline anonymization: redact email/phone/IPv4 spans
+    with typed placeholders.  The synthetic corpus carries no PII, so
+    the query plants deterministic PII derived from doc_id first —
+    making the oracle a cross-engine regex-parity check (Java regex vs
+    DuckDB RE2 must produce byte-identical scrubbed text) rather than
+    a trivial no-op."""
+    from investigraph_etl_spark.operators.textstats import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-0199 from 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(d)
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_redactions"
+    )
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 windowed aggregation: 6-hour tumbling event-time windows per
     user segment.  Batch form of the watermark+window streaming agg
@@ -583,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "events_tumbling_window": q_events_tumbling_window,
+        "pii_scrub": q_pii_scrub,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -783,6 +809,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "pii_scrub": """
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555-0199 from 10.0.0.'
+                          || CAST(doc_id % 255 AS VARCHAR) AS text
+              FROM documents
+            ), scrubbed AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<email>', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '<ipv4>', 'g'),
+                  '\\+?\\d{3}[-. ]\\d{3,4}([-. ]\\d{4})?', '<phone>', 'g'
+                  ) AS clean
+              FROM injected
+            )
+            SELECT doc_id, md5(clean) AS clean_md5,
+                   CAST(len(regexp_split_to_array(clean, '<email>')) - 1
+                      + len(regexp_split_to_array(clean, '<phone>')) - 1
+                      + len(regexp_split_to_array(clean, '<ipv4>')) - 1
+                     AS INT) AS n_redactions
+            FROM scrubbed
         """,
         "events_tumbling_window": """
             SELECT strftime(time_bucket(INTERVAL '6 hours', ts),

@@ -153,3 +153,46 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
     )
+
+
+# ------------------------------------------------------------ PII scrub
+
+# Patterns restricted to syntax Java regex and DuckDB/RE2 interpret
+# identically (no lookarounds, no backrefs) — the oracle gate runs the
+# SAME patterns on both engines, so this is a cross-engine parity
+# surface, not just a transformation.
+PII_PATTERNS: dict[str, str] = {
+    # order matters: emails first (digits + dots inside), then IPv4
+    # BEFORE phones (the phone separator class [-. ] would otherwise
+    # eat dotted quads like 192.168.0.1)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3,4}([-. ]\d{4})?",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, phone numbers, IPv4) with typed
+    placeholder tokens — the anonymization pass a training-data
+    pipeline runs before tokenization.  Pure column expressions (one
+    regexp pass per pattern, chained in one projection — zero shuffle,
+    zero Python); returns (id, text_clean, n_redactions)."""
+    original = F.col(text_col)
+    cleaned = original
+    for name, pat in PII_PATTERNS.items():
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
+    # redaction count = placeholder occurrences in the cleaned text
+    n = sum(
+        (
+            F.size(F.split(cleaned, f"<{name}>", -1)) - 1
+            for name in PII_PATTERNS
+        ),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        n.cast("int").alias("n_redactions"),
+    )

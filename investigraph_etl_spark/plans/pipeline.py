@@ -70,8 +70,10 @@ class PipelineConfig:
     queries: list[QueryMapping] = field(default_factory=list)
     transform_handler: str | None = None
     load_uri: str | None = None
+    load_handler: str | None = None
     entities_uri: str | None = None
     index_uri: str | None = None
+    export_handler: str | None = None
     record_limit: int | None = None
 
     @property
@@ -138,10 +140,12 @@ def load_config(path: str, *, validate_schemata: bool = True) -> PipelineConfig:
         queries=queries,
         transform_handler=handler(transform),
         load_uri=_abs(base, load["uri"]) if load.get("uri") else None,
+        load_handler=handler(load),
         entities_uri=(
             _abs(base, export["entities_uri"]) if export.get("entities_uri") else None
         ),
         index_uri=_abs(base, export["index_uri"]) if export.get("index_uri") else None,
+        export_handler=handler(export),
         record_limit=doc.get("record_limit"),
     )
 
@@ -212,18 +216,30 @@ def run_pipeline(
         write_index_json,
     )
 
+    from investigraph_etl_spark.plans.custom import resolve_handler
+
     if isinstance(cfg, str):
         cfg = load_config(cfg)
     records = extract_records(spark, cfg)
     if limit is not None:
         records = records.limit(limit)
     statements = transform_statements(records, cfg)
-    if cfg.load_uri:
+    if cfg.load_handler:
+        # reference custom load: handle(ctx, proxies) — here the
+        # handler receives the statement DataFrame + config and may
+        # return a replacement frame (e.g. after writing to its own
+        # sink); None keeps the original
+        replaced = resolve_handler(cfg.load_handler)(statements, cfg)
+        statements = replaced if replaced is not None else statements
+    elif cfg.load_uri:
         statements.write.mode("overwrite").parquet(cfg.load_uri)
         statements = spark.read.parquet(cfg.load_uri)  # reuse materialization
     entities = entities_from_statements(statements)
     out = {"dataset": cfg.name}
-    if cfg.entities_uri:
+    if cfg.export_handler:
+        out["export"] = resolve_handler(cfg.export_handler)(entities, cfg)
+        out["entities"] = entities.count()
+    elif cfg.entities_uri:
         out["entities"] = export_entities_json(entities, cfg.entities_uri)
     else:
         out["entities"] = entities.count()

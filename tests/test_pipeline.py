@@ -155,3 +155,55 @@ def test_slugified_dict():
         "short_name": 1,
         "url_name": 2,
     }
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_custom_load_and_export_handlers(spark, tmp_path):
+    """Reference custom load (stage.py:86-89) / export (stage.py:92-97)
+    plug-points: handlers receive the statements / entities frame and
+    the config."""
+    handler = tmp_path / "my_sinks.py"
+    handler.write_text(
+        textwrap.dedent(
+            """
+            def load(statements, cfg):
+                # e.g. write to a bespoke sink; keep the frame flowing
+                return statements.filter("prop = 'name'")
+
+            def export(entities, cfg):
+                return {"n": entities.count(), "dataset": cfg.name}
+            """
+        )
+    )
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            name: eu_sinks
+            prefix: eu-authorities
+            extract:
+              sources:
+                - uri: {CSV}
+                  pandas: {{multiline: true}}
+                  limit: 30
+            transform:
+              queries:
+                - entities:
+                    body:
+                      schema: PublicBody
+                      key: URL name
+                      properties:
+                        name: {{column: Name}}
+                        website: {{column: Home page, type: url}}
+            load:
+              handler: ./my_sinks.py:load
+            export:
+              handler: ./my_sinks.py:export
+            """
+        )
+    )
+    out = run_pipeline(spark, str(cfg))
+    assert out["export"] == {"n": 30, "dataset": "eu_sinks"}
+    # load handler filtered to name-statements only
+    assert out["schemata"] == [{"name": "PublicBody", "count": 30}]
+    assert out["statements"] == 30

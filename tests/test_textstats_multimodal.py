@@ -100,3 +100,21 @@ def test_frame_sample_plan(spark, media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     got = [(r["media_id"], r["frame_ts_ms"]) for r in frames]
     assert got == [(2, 0), (2, 1000), (2, 2000)]
+
+
+def test_pii_scrub_redacts_typed_spans(spark):
+    from investigraph_etl_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "call +44 207-9460 958 or 555-123-4567"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert "<email>" in out[1]["text_clean"] and out[1]["n_redactions"] == 1
+    assert "jane" not in out[1]["text_clean"]
+    assert "<phone>" in out[2]["text_clean"] and out[2]["n_redactions"] >= 1
+    assert out[3]["text_clean"] == "server at <ipv4> responded"
+    assert out[4]["n_redactions"] == 0 and out[4]["text_clean"] == rows[3][1]
