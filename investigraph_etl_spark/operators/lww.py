@@ -74,19 +74,31 @@ def lww_dedup(
       with 10⁷⁺ distinct keys, at the cost of one cheap count per call.
     """
     order_cols = [seq, *extra_keys]
-    pick = F.max(F.struct(*order_cols)).alias("_w")
+    # scalar max for the single-order-key hot path: max over a STRUCT
+    # forces SortAggregate (struct comparisons aren't hash-aggregable),
+    # while max over a plain long stays inside whole-stage-codegen
+    # HashAggregate with map-side combine — asserted in
+    # tests/test_plans.py.  The struct form only runs when a tiebreak
+    # column is genuinely needed (lake read-time LWW on (_seq,
+    # _commit)), and even then sorts only the narrow key projection.
+    if extra_keys:
+        pick = F.max(F.struct(*order_cols)).alias("_w")
+        unpack = lambda w: w.select(key, "_w.*")  # noqa: E731
+    else:
+        pick = F.max(F.col(seq)).alias(seq)
+        unpack = lambda w: w  # noqa: E731
 
     narrow = df.select(key, *order_cols)
     if salt_buckets > 0:
         salted = narrow.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(seq)), F.lit(salt_buckets))
         )
-        partial = salted.groupBy(key, "_salt").agg(pick)
-        winners = (
-            partial.select(key, "_w.*").groupBy(key).agg(pick).select(key, "_w.*")
+        partial = unpack(salted.groupBy(key, "_salt").agg(pick)).select(
+            key, *order_cols
         )
+        winners = unpack(partial.groupBy(key).agg(pick))
     else:
-        winners = narrow.groupBy(key).agg(pick).select(key, "_w.*")
+        winners = unpack(narrow.groupBy(key).agg(pick))
 
     if winners_strategy == "auto_count":
         n_keys = winners.count()
