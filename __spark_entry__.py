@@ -438,6 +438,33 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operator Spark lacks natively): each
+    purchase event gets the most recent click value at-or-before its
+    timestamp per user, via the union-and-carry-forward as-of join —
+    one shuffle, no range-join pair blowup.  Oracle: DuckDB's native
+    ASOF LEFT JOIN.  Right side deduped to one row per (user, ts) so
+    equal-ts ties are deterministic on both engines."""
+    from investigraph_etl_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        "click_value",
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline anonymization: redact email/phone/IPv4 spans
     with typed placeholders.  The synthetic corpus carries no PII, so
@@ -609,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "events_tumbling_window": q_events_tumbling_window,
         "pii_scrub": q_pii_scrub,
+        "asof_join": q_asof_join,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -809,6 +837,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, ROUND(MAX(value), 2) AS click_value
+                       FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.user_id, p.event_id,
+                   ROUND(p.value, 2) AS purchase_value, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "pii_scrub": """
             WITH injected AS (

@@ -64,6 +64,7 @@ HEADLINE = [
     "media_features",
     "frame_sample",
     "corpus_curation",
+    "asof_join",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))

@@ -273,3 +273,37 @@ def test_dedup_keep_canonical(spark, docs):
     # cluster {0,2,4} → canonical 0; everything else untouched
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert ids == (all_ids - {2, 4})
+
+
+def test_asof_join_semantics(spark):
+    from investigraph_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 11, 200)],
+        "k int, ts int, p int",
+    )
+    inc = {
+        (r["k"], r["ts"]): r["p"]
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    # inclusive: left ts=10 sees right ts=10
+    assert inc == {(1, 10): 100, (1, 20): 150, (1, 5): None, (2, 10): None}
+    strict = {
+        (r["k"], r["ts"]): r["p"]
+        for r in asof_join(left, right, on="ts", by="k", inclusive=False).collect()
+    }
+    # strict: left ts=10 must NOT see right ts=10
+    assert strict == {(1, 10): None, (1, 20): 150, (1, 5): None, (2, 10): None}
+
+
+def test_asof_join_column_collision_suffix(spark):
+    from investigraph_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "k int, ts int, value double")
+    right = spark.createDataFrame([(1, 9, 2.0)], "k int, ts int, value double")
+    out = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert out["value"] == 1.0 and out["value_right"] == 2.0
