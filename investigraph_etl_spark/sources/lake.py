@@ -87,6 +87,12 @@ class HashLakeTable:
         self.spark = spark
         self.root = pathlib.Path(root)
         self._manifest = self._load_manifest()
+        # async-compaction state (see merge(compact_mode="async")):
+        # _compact_future is None or (future, consumed, out_dir) where
+        # consumed maps bucket -> number of delta sets the running job
+        # snapshotted (harvest drops exactly that prefix per bucket)
+        self._compact_pool = None
+        self._compact_future = None
 
     # ---------------------------------------------------------- create
     @classmethod
@@ -237,6 +243,8 @@ class HashLakeTable:
         salt_buckets: int = 0,
         winners_strategy: str = "broadcast",
         auto_compact_deltas: int = 8,
+        reduce_batch: bool = True,
+        compact_mode: str = "sync",
     ) -> dict:
         """Apply one change batch (raw or pre-reduced — in-batch LWW
         runs here) as a merge-on-read delta commit.
@@ -256,6 +264,26 @@ class HashLakeTable:
         :meth:`compact`) — read amplification stays bounded while
         amortized compaction cost per commit is table/auto_compact.
 
+        ``reduce_batch=False`` skips the in-batch LWW reduce entirely —
+        correctness is unaffected because read/compact-time LWW over
+        ``(_seq, _commit)`` subsumes it (``LWW(batch ∪ target) ≡
+        LWW(LWW(batch) ∪ target)``); what changes is economics.  The
+        reduce is a winners hash-agg + broadcast semi-join that costs
+        ~0.8s per micro-batch at local[32] regardless of how few
+        duplicates it removes (measured, tools/profile_write.py), while
+        unreduced deltas only cost bytes ∝ the duplicate fraction.
+        Policy: skip for micro-batches (low in-batch dup ratio — the
+        streaming tailer's case), keep for bulk replays whose dup
+        ratio is high (events/doc ≫ 1) where the reduce pays for
+        itself in write volume.
+
+        ``compact_mode`` — ``"sync"`` folds threshold buckets inline
+        (bounded latency spike), ``"async"`` runs the same fold on a
+        background thread so it overlaps the next commits' write jobs
+        (the Iceberg maintenance-process analog; harvested into the
+        manifest at the next commit), ``"off"`` leaves compaction to
+        an explicit :meth:`compact` call.
+
         Exactly-once: Structured Streaming batch ids are monotonic and a
         retried batch re-runs with the same id, so a batch with
         ``batch_id <= last committed`` is a replay → skipped (the
@@ -263,8 +291,13 @@ class HashLakeTable:
         /root/reference/investigraph/model/context.py:272-279).
         Returns commit stats.
         """
+        import time as _time
+
         if batch_id <= self.last_committed(stream_id):
             return {"skipped": True, "version": self.version}
+        _t0 = _time.monotonic()
+        # fold any finished background compaction into this commit
+        self._harvest_compaction(block=False)
 
         # 1. schema evolution: promote new payload columns
         meta = {self.key, seq, op}
@@ -297,18 +330,21 @@ class HashLakeTable:
             "_deleted",
         )
 
-        # 3. in-batch LWW (≤1 row per key) — the cross-commit guard is
-        # read-time LWW, so only the batch itself needs reducing here.
+        # 3. in-batch LWW (≤1 row per key) — optional under
+        # merge-on-read; see the reduce_batch docstring note.
         from investigraph_etl_spark.operators.lww import lww_dedup
 
         out_version = self.version + 1
-        reduced = lww_dedup(
-            changes,
-            self.key,
-            "_seq",
-            salt_buckets=salt_buckets,
-            winners_strategy=winners_strategy,
-        )
+        if reduce_batch:
+            reduced = lww_dedup(
+                changes,
+                self.key,
+                "_seq",
+                salt_buckets=salt_buckets,
+                winners_strategy=winners_strategy,
+            )
+        else:
+            reduced = changes
         bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
         reduced = reduced.withColumn("_bucket", bucket_expr).withColumn(
             "_commit", F.lit(out_version).cast("long")
@@ -318,9 +354,18 @@ class HashLakeTable:
         # directory listing yields the touched-bucket set — no separate
         # distinct() job.  NO global sort — sorting rows that carry
         # token arrays measurably inverse-scales (BENCH.md).
-        reduced = reduced.repartition(self.num_buckets, "_bucket")
+        # Fan = 4× buckets: hashing 32 bucket values into exactly 32
+        # slots leaves ~1/e of them empty and the fullest with 2-3
+        # buckets (2-3× task imbalance on the write stage, measured
+        # ~+20%); 4× slots spread the same 32 buckets nearly 1:1 while
+        # each bucket still lands wholly in ONE task → still ≤1 delta
+        # file per bucket per commit.  Explicit-N repartition is exempt
+        # from AQE coalescing, so the fan survives.
+        reduced = reduced.repartition(self.num_buckets * 4, "_bucket")
         out_dir = self.root / "data" / f"c{out_version:06d}"
+        _t_plan = _time.monotonic()
         reduced.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
+        _t_write = _time.monotonic()
         new_files: dict[str, list[str]] = {}
         for bdir in out_dir.glob("_bucket=*"):
             b = bdir.name.split("=", 1)[1]
@@ -360,8 +405,12 @@ class HashLakeTable:
         )
         per_commit = max(1, self.num_buckets // max(auto_compact_deltas, 1))
         compacted = 0
-        if full:
+        _t_pre_compact = _time.monotonic()
+        if full and compact_mode == "sync":
             compacted = self._compact_into_manifest(full[:per_commit], out_version)
+        elif full and compact_mode == "async":
+            compacted = self._schedule_compaction(full[:per_commit], out_version)
+        _t_compact = _time.monotonic()
 
         self._write_manifest(self.root, self._manifest)
         return {
@@ -369,6 +418,14 @@ class HashLakeTable:
             "version": out_version,
             "touched_buckets": len(touched),
             "compacted_buckets": compacted,
+            # per-commit phase timings (microbatch metrics surface):
+            # plan = driver-side prep up to the write action, write =
+            # the delta-write Spark job, compact = amortized folding
+            "timings": {
+                "plan_sec": round(_t_plan - _t0, 3),
+                "write_sec": round(_t_write - _t_plan, 3),
+                "compact_sec": round(_t_compact - _t_pre_compact, 3),
+            },
         }
 
     # ------------------------------------------------------- compaction
@@ -403,10 +460,112 @@ class HashLakeTable:
         self._manifest = {**self._manifest, "buckets": bases, "deltas": deltas}
         return len(buckets)
 
+    # ------------------------------------------------- async compaction
+    def _schedule_compaction(self, buckets: list[int], version: int) -> int:
+        """Start a background fold of ``buckets``' base ∪ deltas (at
+        most ONE inflight job; a busy pool skips scheduling — the
+        buckets stay over threshold and are retried next commit).
+
+        The job is pure compute: it snapshots the bucket→files mapping
+        NOW (single-writer: only compaction removes files from the
+        manifest, and only one compaction runs at a time, so the
+        snapshot stays valid), writes new bases to a fresh directory,
+        and returns them.  Manifest mutation happens exclusively on the
+        committer thread in :meth:`_harvest_compaction` — concurrent
+        delta appends to the same buckets are safe because harvest
+        drops exactly the per-bucket delta-set *prefix* the job
+        consumed, keeping anything appended after the snapshot.
+
+        Crash safety: if the process dies mid-job the manifest never
+        references the new files; :meth:`vacuum` removes the orphans.
+        Do not run :meth:`vacuum` while a compaction is inflight (it
+        would delete the job's not-yet-referenced output).
+        """
+        if self._compact_future is not None:
+            return 0
+        import concurrent.futures
+
+        if self._compact_pool is None:
+            self._compact_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lake-compact"
+            )
+        bases = self._manifest["buckets"]
+        deltas = self._manifest.get("deltas", {})
+        snapshot = {
+            str(b): list(bases.get(str(b), []))
+            + [f for dset in deltas.get(str(b), []) for f in dset]
+            for b in buckets
+        }
+        consumed = {str(b): len(deltas.get(str(b), [])) for b in buckets}
+        out_dir = self.root / "data" / f"c{version:06d}a"
+        stored = StructType(list(self.full_schema.fields) + [_COMMIT])
+        fut = self._compact_pool.submit(
+            self._compute_compacted, snapshot, out_dir, stored
+        )
+        self._compact_future = (fut, consumed)
+        return len(snapshot)
+
+    def _compute_compacted(
+        self, snapshot: dict[str, list[str]], out_dir, stored: StructType
+    ) -> dict[str, list[str]]:
+        """Background-thread body: LWW-fold the snapshotted files into
+        new per-bucket bases.  Touches no table state."""
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
+        files = [f for fl in snapshot.values() for f in fl]
+        bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
+        scan = self.spark.read.schema(stored).parquet(*files)
+        merged = lww_dedup(
+            scan, self.key, "_seq", extra_keys=("_commit",),
+            winners_strategy="auto",
+        ).withColumn("_bucket", bucket_expr)
+        merged = merged.repartition(max(len(snapshot), 1) * 4, "_bucket")
+        merged.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
+        new_base: dict[str, list[str]] = {b: [] for b in snapshot}
+        for bdir in pathlib.Path(out_dir).glob("_bucket=*"):
+            b = bdir.name.split("=", 1)[1]
+            new_base[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
+        return new_base
+
+    def _harvest_compaction(self, *, block: bool) -> int:
+        """Fold a finished background compaction into the in-memory
+        manifest (persisted by the caller's next manifest write).
+        Returns the number of buckets folded."""
+        if self._compact_future is None:
+            return 0
+        fut, consumed = self._compact_future
+        if not block and not fut.done():
+            return 0
+        new_base = fut.result()  # re-raises background failures here
+        self._compact_future = None
+        bases = dict(self._manifest["buckets"])
+        deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+        for b, files in new_base.items():
+            bases[b] = files
+            remaining = deltas.get(b, [])[consumed[b]:]
+            if remaining:
+                deltas[b] = remaining
+            else:
+                deltas.pop(b, None)
+        self._manifest = {**self._manifest, "buckets": bases, "deltas": deltas}
+        return len(new_base)
+
+    def wait_for_compaction(self) -> int:
+        """Block until any inflight background compaction lands, fold
+        it in, and persist the manifest as a new version.  Call before
+        shutting down a ``compact_mode="async"`` writer."""
+        n = self._harvest_compaction(block=True)
+        if n:
+            self._manifest = {**self._manifest, "version": self.version + 1}
+            self._write_manifest(self.root, self._manifest)
+        return n
+
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Fold deltas into bases (Iceberg ``rewrite_data_files`` analog)
         as a new table version.  ``buckets`` defaults to every bucket
         that currently has deltas."""
+        # land any inflight async fold first — single-compactor rule
+        self._harvest_compaction(block=True)
         deltas = self._manifest.get("deltas", {})
         targets = (
             sorted(int(b) for b in deltas if deltas[b])

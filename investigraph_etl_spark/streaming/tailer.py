@@ -118,11 +118,19 @@ def tail_changelog(
     salt_buckets: int = 0,
     metrics_path: str | None = None,
     available_now: bool = True,
+    reduce_batch: bool = True,
+    compact_mode: str = "sync",
 ):
     """Start the tailer; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in the directory
     and stops (the replay/bench mode); ``False`` keeps tailing.
+    ``reduce_batch`` / ``compact_mode`` forward to ``lake.merge`` —
+    for sustained micro-batch tailing, ``reduce_batch=False`` +
+    ``compact_mode="async"`` is the measured-fastest policy (the
+    in-batch LWW reduce costs more than the duplicate bytes it saves
+    on low-dup micro-batches, and async compaction overlaps the next
+    commits; see sources/lake.py).  Defaults stay conservative.
     The declared schema may be a superset of early files — parquet
     fills missing columns with null, and the lake promotes genuinely
     new columns on first sight (additive evolution, SURVEY.md T6).
@@ -149,7 +157,13 @@ def tail_changelog(
             F.max("event_time").alias("max_event_time"),
         )
         reduced = prepare_batch(observed)
-        result = lake.merge(reduced, batch_id, salt_buckets=salt_buckets)
+        result = lake.merge(
+            reduced,
+            batch_id,
+            salt_buckets=salt_buckets,
+            reduce_batch=reduce_batch,
+            compact_mode=compact_mode,
+        )
         dt = time.monotonic() - t0
         o = obs.get if not result.get("skipped") else {}
         max_et = o.get("max_event_time")

@@ -76,9 +76,24 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=32)
         t0 = time.monotonic()
-        for bid, group in enumerate(groups):
-            batch = spark.read.schema(change_schema()).parquet(*group)
-            lake.merge(prepare_batch(batch), bid)
+        if len(groups) == 1:
+            # bulk replay: events/doc ≫ 1 → the in-batch reduce pays
+            # for itself in write volume; keep it
+            batch = spark.read.schema(change_schema()).parquet(*groups[0])
+            lake.merge(prepare_batch(batch), 0)
+        else:
+            # sustained micro-batch ingest: low in-batch dup ratio →
+            # skip the reduce (read-time LWW subsumes it) and fold
+            # deltas on the background thread, overlapped with the
+            # next commits' write jobs.  The final wait is inside the
+            # timed region: steady state must include compaction.
+            for bid, group in enumerate(groups):
+                batch = spark.read.schema(change_schema()).parquet(*group)
+                lake.merge(
+                    prepare_batch(batch), bid,
+                    reduce_batch=False, compact_mode="async",
+                )
+            lake.wait_for_compaction()
         times.append(round(time.monotonic() - t0, 2))
         if final_rows is None:
             final_rows = lake.read().count()
