@@ -249,8 +249,14 @@ def test_dup_clusters_random_graph_vs_union_find(spark):
     expected = {x: find(x) for x in touched}
 
     df = spark.createDataFrame(edges, "id_a int, id_b int")
-    got = {r["id"]: r["canonical_id"] for r in dup_clusters(df).collect()}
-    assert got == expected
+    # both physical paths: single-task vectorized union-find (default
+    # at this size) and the distributed star loop (threshold 0)
+    for thr in (2_000_000, 0):
+        got = {
+            r["id"]: r["canonical_id"]
+            for r in dup_clusters(df, local_threshold=thr).collect()
+        }
+        assert got == expected, f"local_threshold={thr}"
 
 
 def test_dup_clusters_long_chain(spark):
@@ -260,8 +266,12 @@ def test_dup_clusters_long_chain(spark):
 
     chain = [(i, i + 1) for i in range(100)]
     df = spark.createDataFrame(chain, "id_a int, id_b int")
-    got = {r["id"]: r["canonical_id"] for r in dup_clusters(df).collect()}
-    assert got == {i: 0 for i in range(101)}
+    for thr in (2_000_000, 0):
+        got = {
+            r["id"]: r["canonical_id"]
+            for r in dup_clusters(df, local_threshold=thr).collect()
+        }
+        assert got == {i: 0 for i in range(101)}, f"local_threshold={thr}"
 
 
 def test_dedup_keep_canonical(spark, docs):
