@@ -438,6 +438,33 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-then-chop, the tokens-payload
+    flagship op): per-shard token streams chopped into 256-token
+    sequences, one row per (doc, sequence) span with the sliced piece.
+    Tokens are derived deterministically from text as per-char codes
+    (identical in both engines) since the synthetic documents table
+    carries no token column.  ``piece`` is emitted comma-joined — the
+    driver's canonicalization cannot sort raw list columns."""
+    from investigraph_etl_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("tokens"),
+        F.length("text").alias("n_tok"),
+    )
+    spans = pack_sequences(docs, max_len=256, shard_col="source")
+    return spans.select(
+        "shard",
+        "seq_id",
+        "doc_id",
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        F.array_join(F.col("piece"), ",").alias("piece_str"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (operator Spark lacks natively): each
     purchase event gets the most recent click value at-or-before its
@@ -637,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_events_tumbling_window,
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
+        "pack_sequences": q_pack_sequences,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -847,6 +875,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p.value, 2) AS purchase_value, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT source, doc_id,
+                     list_transform(string_split(text, ''), c -> ord(c)) AS tokens,
+                     length(text) AS n_tok
+              FROM documents WHERE length(text) > 0
+            ), d AS (
+              SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM toks
+            )
+            SELECT source AS shard, CAST(b AS BIGINT) AS seq_id, doc_id,
+                   CAST(GREATEST(b*256 - off, 0) AS BIGINT) AS tok_start,
+                   CAST(LEAST((b+1)*256 - off, n_tok) AS BIGINT) AS tok_end,
+                   array_to_string(tokens[CAST(GREATEST(b*256 - off, 0) AS BIGINT)+1 :
+                                          CAST(LEAST((b+1)*256 - off, n_tok) AS BIGINT)],
+                                   ',') AS piece_str
+            FROM d CROSS JOIN UNNEST(generate_series(
+                     CAST(FLOOR(off/256.0) AS BIGINT),
+                     CAST(FLOOR((off+n_tok-1)/256.0) AS BIGINT))) AS t(b)
         """,
         "pii_scrub": """
             WITH injected AS (

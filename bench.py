@@ -65,6 +65,8 @@ HEADLINE = [
     "frame_sample",
     "corpus_curation",
     "asof_join",
+    "pack_sequences",
+    "dup_clusters",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
