@@ -438,6 +438,31 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling + split assignment: per-lang keep
+    fractions via the md5-hash uniform (reproducible across engines,
+    subset-stable under fraction changes), then a 98/1/1
+    train/val/test split from an independent salt.  Pure narrow
+    filters — pushes to the scan, zero shuffle."""
+    from investigraph_etl_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        {"en": 0.9, "zh": 0.5, "de": 0.25},
+        key_col="doc_id",
+        stratum_col="lang",
+        default=0.1,
+    )
+    return hash_split(
+        kept, {"train": 0.98, "val": 0.01, "test": 0.01},
+        key_col="doc_id", salt="split",
+    ).select("doc_id", "lang", "source", "split")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (concat-then-chop, the tokens-payload
     flagship op): per-shard token streams chopped into 256-token
@@ -665,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -875,6 +901,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p.value, 2) AS purchase_value, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "stratified_sample": """
+            WITH u AS (
+              SELECT doc_id, lang, source,
+                CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                  / 4294967296.0 AS u0,
+                CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'split'),1,8)) AS BIGINT)
+                  / 4294967296.0 AS u1
+              FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   CASE WHEN u1 < 0.98 THEN 'train'
+                        WHEN u1 < 0.99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+            WHERE u0 < CASE lang WHEN 'en' THEN 0.9 WHEN 'zh' THEN 0.5
+                                 WHEN 'de' THEN 0.25 ELSE 0.1 END
         """,
         "pack_sequences": """
             WITH toks AS (

@@ -67,6 +67,7 @@ HEADLINE = [
     "asof_join",
     "pack_sequences",
     "dup_clusters",
+    "stratified_sample",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))

@@ -1,0 +1,101 @@
+"""Deterministic hash sampling / splitting — training-data mixture ops.
+
+Training pipelines need sampling that is (a) reproducible across runs
+and engines (no RNG state, no partition-order dependence — Spark's
+``df.sample`` is neither), (b) stable under resampling (lowering a
+fraction yields a strict subset, so mixture weights can be retuned
+without re-materializing), and (c) a pure narrow filter that pushes
+into the scan at 100 TB.
+
+The primitive: ``u(key) = int(md5(key ∥ salt)[:8 hex]) / 2^32`` — a
+uniform [0,1) value derived only from the row's key.  Keep a row iff
+``u < fraction``; assign splits by cumulative ranges of the same
+``u``.  md5-hex parses identically in Spark (``conv(substr(...),16,
+10)``) and DuckDB (``CAST('0x'||substr(...) AS BIGINT)``), which is
+what makes the driver-gate oracle exact.
+
+Zero shuffle, zero UDF; different ``salt`` values give independent
+draws (per-epoch subsampling, A/B holdouts).
+
+Reference scope: the reference has no sampling op (its ``-l`` record
+limit is a debug head, SURVEY.md §2.2 P9) — mandate §2.11.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(2**32)
+
+
+def hash_uniform(key: Column | str, *, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) value per key (md5-based)."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(k.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    return h / F.lit(_HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, *, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible,
+    subset-stable (fraction f' < f selects a subset of f's rows)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_uniform(key_col, salt=salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    key_col: str,
+    stratum_col: str,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep fractions (the mixture-weighting pass):
+    ``fractions`` maps stratum value → fraction; unlisted strata keep
+    ``default``.  One narrow CASE filter, no join, no shuffle."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} out of [0, 1]")
+    frac = reduce(
+        lambda acc, kv: acc.when(F.col(stratum_col) == kv[0], F.lit(kv[1])),
+        fractions.items(),
+        F.when(F.lit(False), F.lit(0.0)),
+    ).otherwise(F.lit(float(default)))
+    return df.filter(hash_uniform(key_col, salt=salt) < frac)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    key_col: str,
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a named split by cumulative hash ranges —
+    e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``.  Weights
+    must sum to 1 (±1e-9).  A key always lands in the same split,
+    across runs, engines, and cluster sizes."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform(key_col, salt=salt)
+    expr = None
+    cum = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,76 @@
+"""Deterministic hash sampling: reproducibility, subset stability,
+stratum fractions, split completeness, salt independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def pop(spark):
+    return spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+def test_sample_reproducible_and_partition_invariant(spark, pop):
+    a = {r["k"] for r in deterministic_sample(pop, 0.3, key_col="k").collect()}
+    b = {
+        r["k"]
+        for r in deterministic_sample(pop.repartition(13), 0.3, key_col="k").collect()
+    }
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+
+
+def test_lower_fraction_is_subset(spark, pop):
+    big = {r["k"] for r in deterministic_sample(pop, 0.5, key_col="k").collect()}
+    small = {r["k"] for r in deterministic_sample(pop, 0.2, key_col="k").collect()}
+    assert small < big
+
+
+def test_stratified_fractions_respected(spark, pop):
+    got = stratified_sample(
+        pop, {"0": 1.0, "1": 0.5, "2": 0.0}, key_col="k", stratum_col="grp",
+        default=0.1,
+    )
+    counts = {r["grp"]: r["n"] for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 1000
+    assert 400 < counts.get("1", 0) < 600
+    assert "2" not in counts
+    assert 50 < counts.get("3", 0) < 160
+
+
+def test_split_partitions_everything_once(spark, pop):
+    out = hash_split(pop, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="k")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000
+    assert counts["train"] > 3000 and counts["val"] > 200 and counts["test"] > 200
+    # same key → same split on a re-run over different partitioning
+    out2 = hash_split(pop.repartition(9), {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="k")
+    m1 = {r["k"]: r["split"] for r in out.collect()}
+    m2 = {r["k"]: r["split"] for r in out2.collect()}
+    assert m1 == m2
+
+
+def test_salts_give_independent_draws(spark, pop):
+    a = {r["k"] for r in deterministic_sample(pop, 0.5, key_col="k", salt="x").collect()}
+    b = {r["k"] for r in deterministic_sample(pop, 0.5, key_col="k", salt="y").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.35 < overlap < 0.65  # ~independent, not identical
+
+
+def test_bad_inputs_rejected(spark, pop):
+    with pytest.raises(ValueError):
+        deterministic_sample(pop, 1.5, key_col="k")
+    with pytest.raises(ValueError):
+        stratified_sample(pop, {"0": -0.1}, key_col="k", stratum_col="grp")
+    with pytest.raises(ValueError):
+        hash_split(pop, {"a": 0.5, "b": 0.2}, key_col="k")
