@@ -438,6 +438,39 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operator Spark lacks natively — naive
+    theta join degenerates to BroadcastNestedLoop): clicks attributed
+    to each purchase's 2-day window per user via the bucketized
+    equi-join (1-day buckets), then per-purchase attribution totals.
+    Oracle: plain BETWEEN theta join in DuckDB."""
+    from investigraph_etl_spark.operators.interval import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("win_end"),
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        on="ts",
+        start="win_start",
+        end="win_end",
+        by="user_id",
+        bucket_width=86400.0,
+    )
+    return joined.groupBy("user_id", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("click_value"), 2).alias("click_total"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling + split assignment: per-lang keep
     fractions via the md5-hash uniform (reproducible across engines,
@@ -691,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "range_join": q_range_join,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -901,6 +935,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p.value, 2) AS purchase_value, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            WITH c AS (SELECT user_id, ts, value AS click_value FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, event_id AS purchase_id, ts AS win_start,
+                              ts + INTERVAL 2 DAY AS win_end
+                       FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, p.purchase_id,
+                   COUNT(*) AS n_clicks,
+                   ROUND(SUM(c.click_value), 2) AS click_total
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND c.ts >= p.win_start AND c.ts < p.win_end
+            GROUP BY 1, 2
         """,
         "stratified_sample": """
             WITH u AS (

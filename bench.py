@@ -68,6 +68,7 @@ HEADLINE = [
     "pack_sequences",
     "dup_clusters",
     "stratified_sample",
+    "range_join",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
