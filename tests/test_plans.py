@@ -127,3 +127,51 @@ def spark():
     from investigraph_etl_spark.session import get_spark
 
     return get_spark("plan_tests", master="local[4]", shuffle_partitions=4)
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The union-and-carry-forward as-of join must compile to ONE
+    window over the unioned sides — no physical join node at all, and
+    exactly one Exchange (the per-key window shuffle) above the
+    scans."""
+    plan = explain_str(entry.q_asof_join(spark, SF))
+    t = tree(plan)
+    assert "Join" not in t.replace("BroadcastNestedLoopJoin", "JOIN_")  # no join of any kind
+    assert "Window" in t
+    # union side + agg side shuffles: the carry-forward itself is one
+    # exchange; the click-dedup agg adds its own.  What must NOT
+    # appear is a per-row range join explosion.
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketized range join's whole point: a hash equi-join on
+    (key, bucket), never BroadcastNestedLoopJoin / cartesian."""
+    plan = explain_str(entry.q_range_join(spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    t = tree(plan)
+    assert ("BroadcastHashJoin" in t) or ("ShuffledHashJoin" in t) or (
+        "SortMergeJoin" in t
+    )
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing = one per-shard window (single Exchange on the shard
+    column) followed by narrow explode/slice projections — no join,
+    no second shuffle."""
+    plan = explain_str(entry.q_pack_sequences(spark, SF))
+    t = tree(plan)
+    assert t.count("Exchange") == 1
+    assert "Join" not in t
+    assert "Generate" in t  # the sequence+explode span generator
+
+
+def test_stratified_sample_is_pure_narrow_filter(spark):
+    """Hash sampling must stay a scan+filter+project pipeline: zero
+    Exchange, zero join, no Python UDF (md5/conv are JVM exprs)."""
+    plan = explain_str(entry.q_stratified_sample(spark, SF))
+    t = tree(plan)
+    assert "Exchange" not in t
+    assert "Join" not in t
+    assert "Python" not in plan  # no UDF fallback
