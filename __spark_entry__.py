@@ -438,6 +438,24 @@ def q_events_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5%% hash-slice of the
+    documents table plays the eval set; every remaining doc sharing a
+    4-gram with it is reported with its distinct-hit count.  Benchmark
+    shingle vocab broadcasts; the corpus is never shuffled by shingle."""
+    from investigraph_etl_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from investigraph_etl_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = hash_uniform("doc_id") < 0.05
+    report = contamination_report(
+        docs.filter(~is_bench), docs.filter(is_bench), n=4
+    )
+    return report.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (operator Spark lacks natively — naive
     theta join degenerates to BroadcastNestedLoop): clicks attributed
@@ -725,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
+        "decontaminate": q_decontaminate,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -935,6 +954,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p.value, 2) AS purchase_value, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                       / 4294967296.0 < 0.05 AS is_bench,
+                     list_transform(
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != ''),
+                       x -> lower(x)) AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, is_bench,
+                     CASE WHEN len(ws) >= 4 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(ws) - 3),
+                         i -> array_to_string(ws[i:i+3], ' ')))
+                     ELSE [array_to_string(ws, ' ')] END AS shingles
+              FROM w
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE is_bench
+            ), corp AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh WHERE NOT is_bench
+            )
+            SELECT corp.doc_id, COUNT(DISTINCT corp.s) AS n_hits
+            FROM corp JOIN bench ON corp.s = bench.s
+            GROUP BY 1
         """,
         "range_join": """
             WITH c AS (SELECT user_id, ts, value AS click_value FROM events

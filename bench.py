@@ -69,6 +69,7 @@ HEADLINE = [
     "dup_clusters",
     "stratified_sample",
     "range_join",
+    "decontaminate",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))

@@ -1,0 +1,77 @@
+"""Benchmark decontamination — flag training docs that overlap an
+eval/test set by word n-grams.
+
+The standard pretraining hygiene pass (GPT-3 §C, PaLM, Llama all
+report it): any training document sharing an ``n``-gram with a
+benchmark document is suspect and gets dropped or audited.  Exact
+semantics: lowercase whitespace words → distinct word ``n``-grams
+(documents shorter than ``n`` words contribute their whole text as
+one shingle — same rule as the near-dup shinglers in dedup.py, shared
+helper), flag a doc when ≥ ``min_hits`` distinct shingles also occur
+anywhere in the benchmark.
+
+Scale shape: benchmark sets are tiny next to a 100 TB corpus, so the
+benchmark shingle vocabulary is deduped and **broadcast**; corpus
+shingles stream through a broadcast semi-ish inner join (no corpus
+shuffle before the match) and only MATCHED (doc, shingle) pairs —
+a vanishingly small set — reach the per-doc count agg.  The corpus
+is never shuffled by shingle; the only wide op is the final hash-agg
+on matched doc ids with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from investigraph_etl_spark.operators.dedup import word_shingles
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per contaminated doc: ``(id_col, n_hits)`` — the number of
+    distinct ``n``-gram shingles it shares with the benchmark.  Clean
+    docs do not appear (join them back for a full report)."""
+    bcol = bench_text_col or text_col
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bcol), n)).alias("_shingle")
+        )
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_shingle"),
+    )
+    return (
+        doc_shingles.join(F.broadcast(bench_shingles), "_shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_shingle").alias("n_hits"))
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """The enforcement pass: remove every doc with ≥ ``min_hits``
+    shared shingles.  The drop set is only the contaminated ids —
+    broadcastable for the anti-join in the common case (AQE decides)."""
+    hits = contamination_report(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
+    ).filter(F.col("n_hits") >= min_hits)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
