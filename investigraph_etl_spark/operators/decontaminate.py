@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from investigraph_etl_spark.operators.dedup import word_shingles
+from investigraph_etl_spark.operators.dedup import shingle_rows
 
 
 def contamination_report(
@@ -41,14 +41,12 @@ def contamination_report(
     docs do not appear (join them back for a full report)."""
     bcol = bench_text_col or text_col
     bench_shingles = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(bcol), n)).alias("_shingle")
-        )
+        shingle_rows(benchmark, n=n, text_col=bcol, id_col=bcol, out_col="_shingle")
+        .select("_shingle")
         .distinct()
     )
-    doc_shingles = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_shingle"),
+    doc_shingles = shingle_rows(
+        docs, n=n, text_col=text_col, id_col=id_col, out_col="_shingle"
     )
     return (
         doc_shingles.join(F.broadcast(bench_shingles), "_shingle")

@@ -39,9 +39,14 @@ def exact_dedup(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (the Jaccard/MinHash unit)."""
-    ws = F.transform(words(text), lambda w: F.lower(w))
+def word_shingles_of(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an (ideally already-materialized)
+    lowercase words array.  CRITICAL: pass a plain column REFERENCE,
+    not the tokenization expression — expressions referenced inside a
+    higher-order-function lambda are re-evaluated PER ELEMENT, so an
+    inline ``transform(filter(split(text)))`` here turns into one full
+    re-tokenization per gram: O(words²) per doc (measured 5-7× on the
+    shingle operators; see :func:`shingle_rows`)."""
     k = F.size(ws)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
@@ -50,6 +55,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     # short docs (< n words): fall back to the whole text as one shingle
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
         F.array(F.array_join(ws, " "))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams straight from text — convenience form for
+    one-off use.  Hot paths should use :func:`shingle_rows` instead
+    (this inline form pays the per-gram re-tokenization described in
+    :func:`word_shingles_of`)."""
+    return word_shingles_of(F.transform(words(text), lambda w: F.lower(w)), n)
+
+
+def shingle_rows(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "shingle",
+) -> DataFrame:
+    """``(id_col, out_col)`` rows of per-doc DISTINCT word n-grams,
+    with tokenization evaluated ONCE per doc: the lowered words array
+    is materialized in its own projection, and the explode's Generate
+    node is a projection-collapse barrier, so the shingle lambda
+    slices a bound attribute instead of re-running split/filter/lower
+    per gram.  Same semantics as exploding :func:`word_shingles`."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(words(F.col(text_col)), lambda w: F.lower(w)).alias("_ws"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(word_shingles_of(F.col("_ws"), n)).alias(out_col),
     )
 
 
@@ -70,12 +107,13 @@ def ngram_jaccard_pairs(
     skewed shingle keys.  ``max_shingle_df`` drops shingles appearing
     in more than that many docs (stop-shingle cap for web scale).
     """
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    sizes = sh.select("id", "n_sh")
-    ex = sh.select("id", F.explode("shingles").alias("shingle"))
+    ex = shingle_rows(
+        fan_out(df), n=n, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "shingle")
+    # per-doc distinct-shingle counts: one narrow agg with map-side
+    # combine (cheaper than the O(words²) inline-array form this
+    # replaced — see word_shingles_of)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         # stop-shingle cap: aggregate doc-frequency (map-side combine)
         # and semi-join back — cheaper than a count window at scale
@@ -124,10 +162,9 @@ def minhash_signatures(
     xxhash64(shingle, salt_i).  One explode + one hash-agg computing all
     k minimums simultaneously (map-side combine ⇒ shuffle carries one
     row per doc per partition)."""
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = shingle_rows(
+        fan_out(df), n=n, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "shingle")
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
         for i in range(num_hashes)
