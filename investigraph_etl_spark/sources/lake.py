@@ -407,6 +407,10 @@ class HashLakeTable:
         compacted = 0
         _t_pre_compact = _time.monotonic()
         if full and compact_mode == "sync":
+            # mode-switch guard: a still-inflight async fold snapshotted
+            # delta prefixes that a sync fold would also consume — land
+            # it first or the harvest would drop the wrong delta sets
+            self._harvest_compaction(block=True)
             compacted = self._compact_into_manifest(full[:per_commit], out_version)
         elif full and compact_mode == "async":
             compacted = self._schedule_compaction(full[:per_commit], out_version)
@@ -597,6 +601,10 @@ class HashLakeTable:
         resolved, so opening the table via a relative path / symlink
         spelling cannot orphan live files (round-2 fix).  Single-writer
         discipline: do not run concurrently with a pinned reader."""
+        # an inflight async fold's output is not yet referenced by any
+        # manifest and would be deleted as an orphan — land it AND
+        # persist it (vacuum reads manifests from disk) first
+        self.wait_for_compaction()
         manifests = sorted((self.root / "manifests").glob("v*.json"))
         expired = manifests[:-keep_manifests] if keep_manifests > 0 else []
         retained = [m for m in manifests if m not in set(expired)]

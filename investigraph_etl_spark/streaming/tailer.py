@@ -131,6 +131,10 @@ def tail_changelog(
     in-batch LWW reduce costs more than the duplicate bytes it saves
     on low-dup micro-batches, and async compaction overlaps the next
     commits; see sources/lake.py).  Defaults stay conservative.
+    With ``compact_mode="async"``, call ``lake.wait_for_compaction()``
+    after the query terminates to land any inflight fold (state is
+    correct either way; the unharvested output is merely orphaned and
+    vacuum-collected).
     The declared schema may be a superset of early files — parquet
     fills missing columns with null, and the lake promotes genuinely
     new columns on first sight (additive evolution, SURVEY.md T6).

@@ -291,3 +291,41 @@ def test_unreduced_deltas_fold_at_compaction(spark, lake):
     # post-compaction the base holds ≤1 row per key
     raw = lake.read_raw().groupBy(lake.key).count().toPandas()
     assert (raw["count"] == 1).all()
+
+
+def test_sync_compact_lands_inflight_async_fold_first(spark, lake):
+    """Mode-switch safety: an inflight async fold's consumed-prefix
+    bookkeeping must be applied before any sync fold touches the same
+    buckets — otherwise the harvest would drop the wrong delta sets."""
+    events = gen_events_pandas(0, 2000, seed=21, n_docs=120, dirty_frac=0.1)
+    chunks = [events.iloc[i : i + 250] for i in range(0, 2000, 250)]
+    for bid, chunk in enumerate(chunks[:-1]):
+        lake.merge(
+            prepare_batch(_spark_events(spark, chunk)), bid,
+            reduce_batch=False, compact_mode="async", auto_compact_deltas=2,
+        )
+    # switch to sync for the last commit while a fold may be inflight
+    lake.merge(
+        prepare_batch(_spark_events(spark, chunks[-1])), len(chunks) - 1,
+        reduce_batch=False, compact_mode="sync", auto_compact_deltas=2,
+    )
+    lake.wait_for_compaction()
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_vacuum_lands_inflight_fold_before_collecting(spark, lake):
+    """vacuum() must persist an inflight async fold before orphan
+    collection, or it would delete the fold's not-yet-referenced
+    output files."""
+    events = gen_events_pandas(0, 1500, seed=22, n_docs=100)
+    chunks = [events.iloc[i : i + 300] for i in range(0, 1500, 300)]
+    for bid, chunk in enumerate(chunks):
+        lake.merge(
+            prepare_batch(_spark_events(spark, chunk)), bid,
+            reduce_batch=False, compact_mode="async", auto_compact_deltas=2,
+        )
+    lake.vacuum(keep_manifests=1)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+    # reopening from disk agrees — the fold was persisted, not orphaned
+    reopened = HashLakeTable(spark, lake.root)
+    assert_pdf_equal(reopened.read().toPandas(), oracle_reduce(events))
