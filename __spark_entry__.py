@@ -621,15 +621,16 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (training-pipeline staple): 2 highest-value
     events per user, deterministic tiebreak."""
+    from investigraph_etl_spark.operators.ranking import top_k_per_group
+
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id").asc()
-    )
-    return (
-        e.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 2)
-        .select("user_id", "event_id", "value", "rank")
-    )
+    return top_k_per_group(
+        e,
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        2,
+        rank_col="rank",
+    ).select("user_id", "event_id", "value", "rank")
 
 
 def _chain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
