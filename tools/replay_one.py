@@ -2,7 +2,16 @@
 fresh process (fresh JVM — JIT state cannot leak between core counts).
 
 Usage: python tools/replay_one.py <cores> <log_dir> <work_dir> <n_events> \
-           [reps] [batches]
+           [reps] [batches] [slice_mod] [slice_idx]
+
+``slice_mod`` > 1 restricts the replay to the doc_id hash slice
+``pmod(xxhash64(doc_id), slice_mod) == slice_idx`` — one "executor"'s
+key range carved from a shared full log (each process then pays a
+full-log scan).  bench.py's executor-scaling experiment instead
+PRE-SPLITS the changelog into per-slice directories (how a
+key-partitioned CDC stream actually arrives) and passes slice_mod=1
+with the slice's own log_dir; ``slice_idx`` then only names this
+process's barrier-ready file.
 Prints one JSON line with all rep times and the min (the sandbox host
 shows multi-second scheduling stalls at random moments — min-of-N is
 the sustained-capability estimate; all samples are reported).
@@ -18,6 +27,7 @@ contaminate rep 1.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -31,6 +41,7 @@ from investigraph_etl_spark.streaming.tailer import (  # noqa: E402
     change_schema,
     prepare_batch,
     target_schema,
+    tune_ingest_scan,
 )
 
 
@@ -43,19 +54,48 @@ def main() -> None:
     )
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     batches = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    slice_mod = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    slice_idx = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+    # fixed-size "executor" semantics: heap and GC threads bounded by
+    # THIS process's share, never the host (4 concurrent JVMs each
+    # sizing ParallelGC for 32 cores + a 48g heap thrash and swap —
+    # measured 12x degradation in the executor-scaling experiment)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # table bucket count.  The executor-scaling experiment sets this to
+    # 32/K per slice: a K-executor cluster keeps ONE 32-bucket table
+    # and each executor owns the bucket subset its keys hash into, so
+    # the K slice lakes together have exactly the baseline's layout
+    # (and the write fan per executor shrinks with the cluster, as it
+    # does for real — 128 write tasks for a quarter-size slice was a
+    # measured ~2.6s fixed floor that no cluster would pay).
+    num_buckets = int(os.environ.get("SPARK_GRAFT_NUM_BUCKETS", "32"))
     spark = get_spark(
         f"replay{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf={
+            "spark.driver.memory": mem,
+            "spark.driver.extraJavaOptions": (
+                "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC "
+                f"-XX:ParallelGCThreads={max(cores, 2)}"
+            ),
+        },
     )
+
+    # ingest-path scan splits: OFF by default — measured ~8% SLOWER on
+    # this host (8M events / 16 commits, interleaved A/B: 40.0-41.1s
+    # tuned vs 37.1-38.4s default); split scheduling costs more than
+    # the map-side parallelism buys when the batch fits the page cache.
+    # SPARK_GRAFT_INGEST_SPLITS=1 opts in (see tune_ingest_scan).
+    if os.environ.get("SPARK_GRAFT_INGEST_SPLITS", "0") == "1":
+        tune_ingest_scan(spark)
 
     # --- warmup: full code path, small log
     warm_log = f"{work}/warm_log"
     write_changelog(warm_log, 100_000, chunk_size=25_000, seed=7, n_docs=10_000)
     warm_dir = f"{work}/warm_lake_{cores}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    warm_lake = HashLakeTable.create(spark, warm_dir, target_schema(), num_buckets=32)
+    warm_lake = HashLakeTable.create(spark, warm_dir, target_schema(), num_buckets=num_buckets)
     warm_lake.merge(
         prepare_batch(spark.read.schema(change_schema()).parquet(warm_log)), 0
     )
@@ -70,16 +110,37 @@ def main() -> None:
         per = (len(chunk_files) + batches - 1) // batches
         groups = [chunk_files[i : i + per] for i in range(0, len(chunk_files), per)]
 
+    # start-line barrier for concurrent-executor experiments: without
+    # it, an early-starting process times its replay while its peers
+    # are still in JVM-start/warmup/codegen (heavy, unrepresentative
+    # interference) — measured 4-6x inflation.  All peers signal ready
+    # after warmup and wait for "go"; timed regions then align.
+    barrier = os.environ.get("SPARK_GRAFT_BARRIER")
+    if barrier:
+        import pathlib as _pl
+
+        bdir = _pl.Path(barrier)
+        (bdir / f"ready_{slice_idx}").touch()
+        while not (bdir / "go").exists():
+            time.sleep(0.05)
+
     times, final_rows = [], None
     for i in range(reps):
         d = f"{work}/lake_{cores}_b{batches}_{i}"
         shutil.rmtree(d, ignore_errors=True)
-        lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=32)
+        lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=num_buckets)
         t0 = time.monotonic()
         if len(groups) == 1:
             # bulk replay: events/doc ≫ 1 → the in-batch reduce pays
             # for itself in write volume; keep it
             batch = spark.read.schema(change_schema()).parquet(*groups[0])
+            if slice_mod > 1:
+                from pyspark.sql import functions as F
+
+                batch = batch.filter(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(slice_mod))
+                    == F.lit(slice_idx)
+                )
             lake.merge(prepare_batch(batch), 0)
         else:
             # sustained micro-batch ingest: low in-batch dup ratio →
