@@ -217,6 +217,39 @@ class HashLakeTable:
         cols = [f.name for f in self.schema.fields]
         return self.read_raw().filter(~F.col("_deleted")).select(*cols)
 
+    def read_keys(self, keys: list[str]) -> DataFrame:
+        """Point / multi-key lookup with bucket pruning: scan only the
+        buckets the keys hash into, then filter to the keys — a lookup
+        touches ``|buckets(keys)|/num_buckets`` of the table's files
+        (at 100 TB, a single-key fetch reads one bucket, not the lake).
+        Bucket ids come from the same ``xxhash64`` expression the merge
+        path clusters by, evaluated in ONE tiny driver-side job over
+        the key list (bounded by ``len(keys)``, never by table size).
+        Tombstoned keys return no row, exactly like :meth:`read`."""
+        cols = [f.name for f in self.schema.fields]
+        if not keys:
+            return self.read().limit(0)
+        key_type = self.schema[self.key].dataType
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], StructType([StructField(self.key, key_type)])
+        )
+        buckets = sorted(
+            r["b"]
+            for r in kdf.select(
+                F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return (
+            self.read_raw(buckets)
+            .filter(~F.col("_deleted"))
+            .filter(F.col(self.key).isin(list(keys)))
+            .select(*cols)
+        )
+
     # --------------------------------------------------------- evolve
     def add_columns(self, new_fields: list[StructField]) -> None:
         existing = {f.name for f in self.schema.fields}

@@ -329,3 +329,28 @@ def test_vacuum_lands_inflight_fold_before_collecting(spark, lake):
     # reopening from disk agrees — the fold was persisted, not orphaned
     reopened = HashLakeTable(spark, lake.root)
     assert_pdf_equal(reopened.read().toPandas(), oracle_reduce(events))
+
+
+def test_read_keys_prunes_to_key_buckets(spark, lake):
+    """Point lookup: result equals a filtered full read, tombstoned
+    keys return nothing, and the scan touches ONLY the files of the
+    buckets the keys hash into (the 100 TB point-lookup story)."""
+    events = gen_events_pandas(0, 2000, seed=23, n_docs=150)
+    replay_batch(_spark_events(spark, events), lake)
+    oracle = oracle_reduce(events)
+    live = list(oracle["doc_id"].iloc[:3])
+    all_ids = {f"doc-{n:08d}" for n in range(150)}
+    dead = sorted(all_ids - set(oracle["doc_id"]))[:1]  # tombstoned
+    got = lake.read_keys(live + dead).toPandas()
+    assert_pdf_equal(got, oracle[oracle["doc_id"].isin(live)])
+    # pruning: inputFiles ⊆ the keys' buckets' files, a strict subset
+    # of the full table's files
+    touched = set(lake.read_keys(live + dead).inputFiles())
+    every = set(lake.read_raw().inputFiles())
+    assert touched and touched < every
+
+
+def test_read_keys_empty_list(spark, lake):
+    events = gen_events_pandas(0, 500, seed=24, n_docs=50)
+    replay_batch(_spark_events(spark, events), lake)
+    assert lake.read_keys([]).count() == 0
