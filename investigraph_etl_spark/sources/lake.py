@@ -169,11 +169,25 @@ class HashLakeTable:
     def last_committed(self, stream_id: str = "default") -> int:
         return self._manifest["commits"].get(stream_id, -1)
 
+    def _manifest_at(self, version: int) -> dict:
+        """The manifest persisted at ``version`` (time travel).  Raises
+        if that version was expired by :meth:`vacuum` or never existed."""
+        p = self.root / "manifests" / f"v{version:06d}.json"
+        if not p.exists():
+            raise ValueError(
+                f"version {version} not available (expired by vacuum or "
+                f"never committed); latest is {self.version}"
+            )
+        return json.loads(p.read_text())
+
     # ------------------------------------------------------------ read
-    def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
+    def _bucket_files(
+        self, buckets: list[int] | None = None, manifest: dict | None = None
+    ) -> list[str]:
         """Base + delta files for the given buckets (None = all)."""
-        bases = self._manifest["buckets"]
-        deltas = self._manifest.get("deltas", {})
+        manifest = manifest if manifest is not None else self._manifest
+        bases = manifest["buckets"]
+        deltas = manifest.get("deltas", {})
         if buckets is None:
             keys = sorted(set(bases) | set(deltas))
         else:
@@ -185,37 +199,57 @@ class HashLakeTable:
                 out.extend(dset)
         return out
 
-    def _scan(self, files: list[str]) -> DataFrame:
+    def _scan(self, files: list[str], payload: StructType) -> DataFrame:
         """Raw file scan (no LWW), stored schema incl. ``_commit``.
         Explicit schema ⇒ files written before a column was added read
         it back as null (additive evolution, SURVEY.md §2.9 T6)."""
-        stored = StructType(list(self.full_schema.fields) + [_COMMIT])
+        stored = StructType(
+            list(payload.fields) + list(_INTERNAL) + [_COMMIT]
+        )
         if not files:
             return self.spark.createDataFrame([], stored)
         return self.spark.read.schema(stored).parquet(*files)
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(
+        self,
+        buckets: list[int] | None = None,
+        *,
+        version: int | None = None,
+    ) -> DataFrame:
         """Current row per key incl. tombstones and internal columns
         (merge-on-read: LWW over base ∪ deltas on ``(_seq, _commit)``).
-        Passing ``buckets`` prunes the scan to those buckets' files.
+        Passing ``buckets`` prunes the scan to those buckets' files;
+        ``version`` time-travels to a retained manifest (MVCC — the
+        snapshot's file set AND its schema as of that version).
         The winner semi-join strategy is left to Catalyst/AQE — the
         full table is not a micro-batch, forcing broadcast would be
         wrong at scale."""
         from investigraph_etl_spark.operators.lww import lww_dedup
 
+        manifest = self._manifest if version is None else self._manifest_at(version)
+        payload = StructType.fromJson(manifest["schema"])
         merged = lww_dedup(
-            self._scan(self._bucket_files(buckets)),
+            self._scan(self._bucket_files(buckets, manifest), payload),
             self.key,
             "_seq",
             extra_keys=("_commit",),
             winners_strategy="auto",
         )
-        return merged.select(*[f.name for f in self.full_schema.fields])
+        return merged.select(
+            *[f.name for f in payload.fields], *[f.name for f in _INTERNAL]
+        )
 
-    def read(self) -> DataFrame:
-        """Live rows, public schema."""
-        cols = [f.name for f in self.schema.fields]
-        return self.read_raw().filter(~F.col("_deleted")).select(*cols)
+    def read(self, *, version: int | None = None) -> DataFrame:
+        """Live rows, public schema.  ``version`` time-travels to any
+        manifest still retained by :meth:`vacuum` (Iceberg
+        ``VERSION AS OF`` analog)."""
+        manifest = self._manifest if version is None else self._manifest_at(version)
+        cols = [f["name"] for f in manifest["schema"]["fields"]]
+        return (
+            self.read_raw(version=version)
+            .filter(~F.col("_deleted"))
+            .select(*cols)
+        )
 
     def read_keys(self, keys: list[str]) -> DataFrame:
         """Point / multi-key lookup with bucket pruning: scan only the
@@ -476,7 +510,7 @@ class HashLakeTable:
             return 0
         bucket_expr = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets))
         merged = lww_dedup(
-            self._scan(files),
+            self._scan(files, self.schema),
             self.key,
             "_seq",
             extra_keys=("_commit",),

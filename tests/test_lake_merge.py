@@ -354,3 +354,43 @@ def test_read_keys_empty_list(spark, lake):
     events = gen_events_pandas(0, 500, seed=24, n_docs=50)
     replay_batch(_spark_events(spark, events), lake)
     assert lake.read_keys([]).count() == 0
+
+
+def test_time_travel_reads_retained_versions(spark, lake):
+    """read(version=v) reproduces the state as of commit v (MVCC), and
+    vacuum-expired versions raise instead of silently reading current
+    files."""
+    events = gen_events_pandas(0, 3000, seed=25, n_docs=120)
+    versions = []
+    for bid, start in enumerate(range(0, 3000, 1000)):
+        chunk = events.iloc[start : start + 1000]
+        stats = lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+        versions.append(stats["version"])
+    # snapshot after the FIRST commit == oracle over its events only
+    assert_pdf_equal(
+        lake.read(version=versions[0]).toPandas(),
+        oracle_reduce(events.iloc[:1000]),
+    )
+    # latest (explicit + implicit agree)
+    assert_pdf_equal(
+        lake.read(version=versions[-1]).toPandas(), oracle_reduce(events)
+    )
+    # expire everything but the newest manifest: old version must raise
+    lake.vacuum(keep_manifests=1)
+    with pytest.raises(ValueError, match="expired|not available"):
+        lake.read(version=versions[0]).count()
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_time_travel_schema_as_of_version(spark, lake):
+    """A version before additive evolution exposes the OLD schema —
+    the snapshot's columns, not the current ones."""
+    base = gen_events_pandas(0, 800, seed=26, n_docs=60)
+    s1 = lake.merge(prepare_batch(_spark_events(spark, base)), 0)
+    evolved = gen_events_pandas(800, 800, seed=26, n_docs=60, with_lang=True)
+    lake.merge(
+        prepare_batch(_spark_events(spark, evolved, with_lang=True)), 1
+    )
+    old_cols = set(lake.read(version=s1["version"]).columns)
+    new_cols = set(lake.read().columns)
+    assert "lang" not in old_cols and "lang" in new_cols
