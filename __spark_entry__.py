@@ -705,6 +705,78 @@ def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_lake(spark: SparkSession, sf_dir: str):
+    """Lake built from the registered ``events`` view (so DuckDB can
+    oracle the result): key=user_id, seq=event_id, 'error'→delete.
+    Merged as TWO commits split at max(event_id)//2 — returns
+    ``(lake, [version_after_commit_1, version_after_commit_2])`` so
+    callers can time-travel to the mid-replay snapshot."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from investigraph_etl_spark.sources.lake import HashLakeTable
+
+    e = _t(spark, sf_dir, "events")
+    split = e.agg(F.max("event_id")).first()[0] // 2
+    changes = e.select(
+        "user_id",
+        F.col("event_id").alias("_evseq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="events_lake_")
+    lake = HashLakeTable.create(
+        spark, f"{tmp}/lake", schema, key="user_id", num_buckets=8
+    )
+    versions = []
+    for bid, part in enumerate(
+        (changes.filter(F.col("_evseq") <= split),
+         changes.filter(F.col("_evseq") > split))
+    ):
+        stats = lake.merge(part, bid, seq="_evseq", op="op")
+        versions.append(stats["version"])
+    return lake, versions
+
+
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine point lookup THROUGH the lake: replay events into a
+    bucketed table, then ``read_keys`` for the 5 smallest user_ids —
+    the scan prunes to those keys' buckets (the 100 TB single-key
+    fetch story), verified against DuckDB's final-state SQL."""
+    lake, _ = _events_lake(spark, sf_dir)
+    keys = [
+        r[0]
+        for r in _t(spark, sf_dir, "events")
+        .select("user_id").distinct().orderBy("user_id").limit(5).collect()
+    ]
+    return lake.read_keys(keys)
+
+
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC time travel THROUGH the lake: replay events as two commits,
+    read back the snapshot as of commit 1 (``read(version=...)``) —
+    must equal LWW over only the first half of the changelog."""
+    lake, versions = _events_lake(spark, sf_dir)
+    return lake.read(version=versions[0])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -745,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
+        "lake_point_lookup": q_lake_point_lookup,
+        "lake_time_travel": q_lake_time_travel,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -982,6 +1056,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT corp.doc_id, COUNT(DISTINCT corp.s) AS n_hits
             FROM corp JOIN bench ON corp.s = bench.s
             GROUP BY 1
+        """,
+        "lake_point_lookup": """
+            WITH final AS (
+              SELECT user_id, event_type, value
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) rn
+                    FROM events)
+              WHERE rn = 1 AND event_type != 'error')
+            SELECT * FROM final
+            WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                              ORDER BY user_id LIMIT 5)
+        """,
+        "lake_time_travel": """
+            SELECT user_id, event_type, value
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events
+                  WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
+            WHERE rn = 1 AND event_type != 'error'
         """,
         "range_join": """
             WITH c AS (SELECT user_id, ts, value AS click_value FROM events
