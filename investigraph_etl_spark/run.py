@@ -11,6 +11,8 @@ Subcommands:
   ``tail``    — streaming tailer (``--follow`` keeps running;
                 default drains available files and exits)
   ``export``  — dump the lake's live state as parquet
+                (``--version`` time-travels to a retained snapshot)
+  ``lookup``  — bucket-pruned point fetch of ``--keys`` as JSON lines
 """
 
 from __future__ import annotations
@@ -30,13 +32,23 @@ from investigraph_etl_spark.streaming.tailer import (
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="investigraph_etl_spark")
-    p.add_argument("command", choices=["run", "replay", "tail", "export"])
+    p.add_argument(
+        "command", choices=["run", "replay", "tail", "export", "lookup"]
+    )
     p.add_argument("-c", "--config", help="pipeline YAML (run)")
     p.add_argument("-l", "--limit", type=int, help="record limit (run)")
     p.add_argument("--changelog", help="binlog/WAL directory (parquet chunks)")
     p.add_argument("--lake", help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (tail)")
     p.add_argument("--out", help="output dir (export)")
+    p.add_argument(
+        "--version", type=int, default=None,
+        help="time-travel: export the table as of this version "
+        "(any manifest vacuum still retains)",
+    )
+    p.add_argument(
+        "--keys", help="comma-separated keys (lookup): bucket-pruned fetch"
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--with-lang", action="store_true")
@@ -92,8 +104,19 @@ def main(argv: list[str] | None = None) -> None:
         )
         q.awaitTermination()
     elif args.command == "export":
-        lake.read().write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"rows": lake.read().count(), "out": args.out}))
+        df = lake.read(version=args.version)
+        df.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {"rows": df.count(), "out": args.out, "version": args.version}
+            )
+        )
+    elif args.command == "lookup":
+        if not args.keys:
+            p.error("lookup requires --keys")
+        rows = lake.read_keys(args.keys.split(",")).toJSON().collect()
+        for r in rows:
+            print(r)
 
 
 if __name__ == "__main__":

@@ -207,7 +207,18 @@ def test_cli_replay_and_export(spark, tmp_path):
     main(["export", "--lake", str(tmp_path / "lake"), "--out", str(tmp_path / "out"),
           "--num-buckets", "8"])
     got = spark.read.parquet(str(tmp_path / "out"))
-    assert got.count() == len(oracle_reduce(read_changelog_pandas(log)))
+    oracle = oracle_reduce(read_changelog_pandas(log))
+    assert got.count() == len(oracle)
+    # point lookup via CLI prints JSON lines for the requested keys
+    key = oracle["doc_id"].iloc[0]
+    main(["lookup", "--lake", str(tmp_path / "lake"), "--keys", key,
+          "--num-buckets", "8"], )
+    # time-travel export of the CURRENT version equals the live export
+    v = int((tmp_path / "lake" / "_latest").read_text())
+    main(["export", "--lake", str(tmp_path / "lake"),
+          "--out", str(tmp_path / "out_v"), "--version", str(v),
+          "--num-buckets", "8"])
+    assert spark.read.parquet(str(tmp_path / "out_v")).count() == len(oracle)
 
 
 def test_skew_heavy_replay(spark, tmp_path):

@@ -124,11 +124,38 @@ def main() -> None:
         while not (bdir / "go").exists():
             time.sleep(0.05)
 
+    # SPARK_GRAFT_REPLAY_MODE=stream drives the PRODUCT surface — the
+    # Structured Streaming tailer (file source → foreachBatch merge,
+    # checkpointed, availableNow drain) — instead of direct merge
+    # calls, so the published number includes streaming-engine
+    # overhead (offset tracking, per-batch planning, commit log).
+    stream_mode = os.environ.get("SPARK_GRAFT_REPLAY_MODE") == "stream"
+
     times, final_rows = [], None
     for i in range(reps):
         d = f"{work}/lake_{cores}_b{batches}_{i}"
         shutil.rmtree(d, ignore_errors=True)
         lake = HashLakeTable.create(spark, d, target_schema(), num_buckets=num_buckets)
+        if stream_mode:
+            from investigraph_etl_spark.streaming.tailer import tail_changelog
+
+            ckpt = f"{work}/ckpt_{cores}_{i}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            per_trigger = max(1, (len(chunk_files) + batches - 1) // batches)
+            t0 = time.monotonic()
+            q = tail_changelog(
+                spark, log_dir, lake, ckpt,
+                max_files_per_trigger=per_trigger,
+                available_now=True,
+                reduce_batch=False,
+                compact_mode="async",
+            )
+            q.awaitTermination()
+            lake.wait_for_compaction()
+            times.append(round(time.monotonic() - t0, 2))
+            if final_rows is None:
+                final_rows = lake.read().count()
+            continue
         t0 = time.monotonic()
         if len(groups) == 1:
             # bulk replay: events/doc ≫ 1 → the in-batch reduce pays
