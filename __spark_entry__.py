@@ -777,6 +777,18 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read(version=versions[0])
 
 
+def q_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed OUT of the lake (Delta CDF / Iceberg changelog-scan
+    analog): replay events as two commits, then ``read_changes`` from
+    the first snapshot — the NET per-key diff (insert/update/delete,
+    deletes with null payload) that a downstream incremental consumer
+    would apply.  Oracle: the SQL diff of the two LWW states.  Scale
+    shape: scans only post-``from`` files plus the touched keys'
+    buckets of the from state (tests/test_lake_changes.py)."""
+    lake, versions = _events_lake(spark, sf_dir)
+    return lake.read_changes(versions[0])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -819,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lake_point_lookup": q_lake_point_lookup,
         "lake_time_travel": q_lake_time_travel,
+        "lake_change_feed": q_lake_change_feed,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1075,6 +1088,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM events
                   WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events))
             WHERE rn = 1 AND event_type != 'error'
+        """,
+        "lake_change_feed": """
+            WITH f AS (
+              SELECT user_id, MAX(event_id) AS seq,
+                     arg_max(event_type, event_id) AS event_type
+              FROM events
+              WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)
+              GROUP BY user_id
+            ), t AS (
+              SELECT user_id, MAX(event_id) AS seq,
+                     arg_max(event_type, event_id) AS event_type,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            )
+            SELECT t.user_id,
+                   CASE WHEN t.event_type = 'error' THEN NULL
+                        ELSE t.event_type END AS event_type,
+                   CASE WHEN t.event_type = 'error' THEN NULL
+                        ELSE t.value END AS value,
+                   CASE WHEN t.event_type = 'error' THEN 'delete'
+                        WHEN f.user_id IS NULL OR f.event_type = 'error'
+                             THEN 'insert'
+                        ELSE 'update' END AS _change_type
+            FROM t LEFT JOIN f ON t.user_id = f.user_id
+            WHERE (f.seq IS NULL OR t.seq != f.seq)
+              AND NOT (t.event_type = 'error'
+                       AND (f.user_id IS NULL OR f.event_type = 'error'))
         """,
         "range_join": """
             WITH c AS (SELECT user_id, ts, value AS click_value FROM events

@@ -13,6 +13,8 @@ Subcommands:
   ``export``  — dump the lake's live state as parquet
                 (``--version`` time-travels to a retained snapshot)
   ``lookup``  — bucket-pruned point fetch of ``--keys`` as JSON lines
+  ``changes`` — net change feed between two snapshots
+                (``--from-version``/``--to-version``) as parquet
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ from investigraph_etl_spark.streaming.tailer import (
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="investigraph_etl_spark")
     p.add_argument(
-        "command", choices=["run", "replay", "tail", "export", "lookup"]
+        "command",
+        choices=["run", "replay", "tail", "export", "lookup", "changes"],
     )
     p.add_argument("-c", "--config", help="pipeline YAML (run)")
     p.add_argument("-l", "--limit", type=int, help="record limit (run)")
@@ -48,6 +51,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument(
         "--keys", help="comma-separated keys (lookup): bucket-pruned fetch"
+    )
+    p.add_argument(
+        "--from-version", type=int, default=None,
+        help="change feed start snapshot (changes; exclusive)",
+    )
+    p.add_argument(
+        "--to-version", type=int, default=None,
+        help="change feed end snapshot (changes; default: latest)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--num-buckets", type=int, default=64)
@@ -117,6 +128,23 @@ def main(argv: list[str] | None = None) -> None:
         rows = lake.read_keys(args.keys.split(",")).toJSON().collect()
         for r in rows:
             print(r)
+    elif args.command == "changes":
+        if args.from_version is None or not args.out:
+            p.error("changes requires --from-version and --out")
+        df = lake.read_changes(args.from_version, args.to_version)
+        df.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "rows": df.count(),
+                    "out": args.out,
+                    "from_version": args.from_version,
+                    "to_version": args.to_version
+                    if args.to_version is not None
+                    else lake.version,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

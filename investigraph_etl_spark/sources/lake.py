@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -282,6 +283,119 @@ class HashLakeTable:
             .filter(~F.col("_deleted"))
             .filter(F.col(self.key).isin(list(keys)))
             .select(*cols)
+        )
+
+    @staticmethod
+    def _file_commit_version(path: str) -> int:
+        """The commit version that WROTE a data file, parsed from its
+        directory name (``c%06d`` delta, ``c%06dx``/``c%06da``
+        compaction).  Every row in a file has ``_commit`` ≤ this
+        version, so files at version ≤ v cannot contain rows committed
+        after v — the file-level pruning :meth:`read_changes` uses."""
+        import re
+
+        m = re.findall(r"c(\d{6})[xa]?(?=/|$)", path)
+        if not m:
+            raise ValueError(f"not a lake data file path: {path}")
+        return int(m[-1])
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """NET row-level change feed between two retained snapshots —
+        the Delta CDF / Iceberg changelog-scan analog (CDC *out* of the
+        lake, for downstream incremental consumers).  Returns the
+        to-version payload schema plus ``_change_type`` ∈
+        {'insert','update','delete'}: one row per key whose live state
+        differs between the snapshots.  Delete rows carry the key and
+        null payload.  A key touched in the range whose late events all
+        LOSE the LWW race to the from-state winner emits nothing (no
+        net change) — same guard as the merge path.
+
+        Scale shape: cost ∝ changes in range, never table size.
+        (1) File pruning: only files whose writing commit is
+        > ``from_version`` can hold range rows (delta dirs are
+        per-commit; compaction outputs preserve each row's original
+        ``_commit``), with the row-level ``_commit`` range filter on
+        top for compacted files that mix old rows in.
+        (2) The from-state comparison scans ONLY the touched keys'
+        buckets, and only their narrow internal columns (key, _seq,
+        _commit, _deleted — the payload side of the from state is
+        never read; emitted payloads always come from the range
+        winner).  Requires both manifests retained (same retention
+        contract as :meth:`vacuum` / time travel).
+        """
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
+        to_version = self.version if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        man_to = self._manifest_at(to_version)
+        pay_to = StructType.fromJson(man_to["schema"])
+        pay_cols = [f.name for f in pay_to.fields]
+        empty = self.spark.createDataFrame(
+            [],
+            StructType(
+                list(pay_to.fields) + [StructField("_change_type", StringType())]
+            ),
+        )
+        if from_version == to_version:
+            return empty
+        files = [
+            f
+            for f in self._bucket_files(None, man_to)
+            if self._file_commit_version(f) > from_version
+        ]
+        if not files:
+            return empty
+        range_rows = self._scan(files, pay_to).filter(
+            (F.col("_commit") > F.lit(from_version))
+            & (F.col("_commit") <= F.lit(to_version))
+        )
+        w = lww_dedup(
+            range_rows, self.key, "_seq",
+            extra_keys=("_commit",), winners_strategy="auto",
+        )
+        # touched buckets: bounded by num_buckets — tiny driver fetch
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)
+        ).cast("int")
+        touched = sorted(
+            r["b"] for r in w.select(bucket_expr.alias("b")).distinct().collect()
+        )
+        man_from = self._manifest_at(from_version)
+        pay_from = StructType.fromJson(man_from["schema"])
+        s_raw = lww_dedup(
+            self._scan(self._bucket_files(touched, man_from), pay_from),
+            self.key,
+            "_seq",
+            extra_keys=("_commit",),
+            winners_strategy="auto",
+        ).select(
+            F.col(self.key).alias("_s_key"),
+            F.col("_seq").alias("_s_seq"),
+            F.col("_commit").alias("_s_commit"),
+            F.col("_deleted").alias("_s_deleted"),
+        )
+        j = w.join(s_raw, w[self.key] == s_raw["_s_key"], "left")
+        w_wins = F.col("_s_key").isNull() | (
+            F.struct(F.col("_seq"), F.col("_commit"))
+            > F.struct(F.col("_s_seq"), F.col("_s_commit"))
+        )
+        s_live = F.col("_s_key").isNotNull() & ~F.col("_s_deleted")
+        change = (
+            F.when(~s_live, F.lit("insert"))
+            .when(F.col("_deleted"), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            j.filter(w_wins)
+            # a delete of a key that was not live at from_version is a
+            # no-op for net-diff consumers
+            .filter(~(F.col("_deleted") & ~s_live))
+            .select(*pay_cols, change.alias("_change_type"))
         )
 
     # --------------------------------------------------------- evolve

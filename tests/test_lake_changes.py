@@ -1,0 +1,263 @@
+"""Change-feed (CDC *out*) semantics: ``HashLakeTable.read_changes``
+is the Delta CDF / Iceberg changelog-scan analog — the NET row-level
+diff between two retained snapshots.  Pinned here: insert/update/delete
+classification, late-loser suppression, tombstone interactions,
+apply-changes state reconstruction, correctness across compaction
+(compacted files mix old rows → the row-level ``_commit`` filter is
+load-bearing), schema evolution, and the file-pruning scale shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from investigraph_etl_spark.changelog import gen_events_pandas, oracle_reduce
+from investigraph_etl_spark.sources.lake import HashLakeTable
+from investigraph_etl_spark.streaming.tailer import (
+    change_schema,
+    prepare_batch,
+    target_schema,
+)
+from tests.conftest import assert_pdf_equal
+
+COLS = ["event_sequence", "op", "doc_id", "tokens", "n_tok", "source", "event_time"]
+T0 = pd.to_datetime(0, unit="s")
+
+
+def _spark_events(spark, pdf: pd.DataFrame, with_lang: bool = False):
+    return spark.createDataFrame(pdf, schema=change_schema(with_lang))
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return HashLakeTable.create(
+        spark, str(tmp_path / "lake"), target_schema(), num_buckets=8
+    )
+
+
+def oracle_changes(ev_from: pd.DataFrame, ev_all: pd.DataFrame) -> pd.DataFrame:
+    """Single-threaded net diff between the LWW states of two event
+    prefixes: one row per key whose winner changed, classified by the
+    (from-live, to-live) transition; delete rows carry null payload."""
+    f = oracle_reduce(ev_from, with_tombstones=True).set_index("doc_id")
+    t = oracle_reduce(ev_all, with_tombstones=True).set_index("doc_id")
+    pay_cols = [c for c in t.columns if c not in ("_deleted", "_seq")]
+    rows = []
+    for key, trow in t.iterrows():
+        frow = f.loc[key] if key in f.index else None
+        if frow is not None and frow["_seq"] == trow["_seq"]:
+            continue  # winner unchanged → no net change
+        f_live = frow is not None and not frow["_deleted"]
+        if trow["_deleted"]:
+            if f_live:
+                rows.append(
+                    {"doc_id": key, **{c: None for c in pay_cols},
+                     "_change_type": "delete"}
+                )
+        else:
+            rows.append(
+                {"doc_id": key, **{c: trow[c] for c in pay_cols},
+                 "_change_type": "insert" if not f_live else "update"}
+            )
+    cols = ["doc_id"] + pay_cols + ["_change_type"]
+    return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+
+def test_changes_classify_insert_update_delete(spark, lake):
+    """Hand-built transitions: update, delete, insert, late loser
+    (no row), re-insert over a from-side tombstone (insert), and a
+    range delete of a never-live key (no row)."""
+    c1 = pd.DataFrame(
+        [
+            [1, "insert", "a", [1], 1, "web", T0],
+            [2, "insert", "b", [2], 1, "web", T0],
+            [9, "update", "c", [3], 1, "web", T0],  # c's winner stays seq 9
+            [3, "insert", "e", [5], 1, "web", T0],
+            [4, "delete", "e", None, None, None, T0],  # tombstone at from
+        ],
+        columns=COLS,
+    )
+    c2 = pd.DataFrame(
+        [
+            [10, "update", "a", [7, 7], 2, "books", T0],  # update
+            [11, "delete", "b", None, None, None, T0],  # delete
+            [12, "insert", "d", [8], 1, "code", T0],  # insert
+            [5, "update", "c", [9], 1, "web", T0],  # late loser → no row
+            [13, "insert", "e", [6], 1, "wiki", T0],  # over tombstone → insert
+            [14, "delete", "z", None, None, None, T0],  # never live → no row
+        ],
+        columns=COLS,
+    )
+    v1 = lake.merge(prepare_batch(_spark_events(spark, c1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, c2)), 1)
+    got = lake.read_changes(v1).toPandas()
+    by_key = {r["doc_id"]: r for _, r in got.iterrows()}
+    assert set(by_key) == {"a", "b", "d", "e"}
+    assert by_key["a"]["_change_type"] == "update"
+    assert list(by_key["a"]["tokens"]) == [7, 7] and by_key["a"]["source"] == "books"
+    assert by_key["b"]["_change_type"] == "delete"
+    assert by_key["b"]["tokens"] is None and by_key["b"]["source"] is None
+    assert by_key["d"]["_change_type"] == "insert"
+    assert by_key["e"]["_change_type"] == "insert"
+    assert_pdf_equal(got, oracle_changes(c1, pd.concat([c1, c2])))
+
+
+def test_changes_match_oracle_diff_interleaved(spark, lake):
+    """Generator events delivered even/odd (each commit interleaves
+    sequence numbers) so commit 2 contains genuine late losers against
+    commit 1 winners — the feed must equal the oracle net diff."""
+    events = gen_events_pandas(0, 3000, seed=31, n_docs=200, dirty_frac=0.1)
+    ev1, ev2 = events.iloc[::2], events.iloc[1::2]
+    v1 = lake.merge(prepare_batch(_spark_events(spark, ev1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, ev2)), 1)
+    got = lake.read_changes(v1).toPandas()
+    assert_pdf_equal(got, oracle_changes(ev1, events))
+    # sanity: the interleave produced a non-trivial feed with all kinds
+    kinds = set(got["_change_type"])
+    assert kinds == {"insert", "update", "delete"}
+
+
+def test_changes_apply_reconstructs_to_state(spark, lake):
+    """state(from) + changes = state(to): upsert inserts/updates, drop
+    deletes.  The invariant a downstream incremental consumer relies
+    on, independent of the diff oracle's own reasoning."""
+    events = gen_events_pandas(0, 4000, seed=32, n_docs=250)
+    chunks = [events.iloc[i::4] for i in range(4)]
+    versions = []
+    for bid, chunk in enumerate(chunks):
+        versions.append(
+            lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)["version"]
+        )
+    vf = versions[1]  # diff spans two commits
+    state = {
+        r["doc_id"]: dict(r)
+        for _, r in lake.read(version=vf).toPandas().iterrows()
+    }
+    for _, ch in lake.read_changes(vf).toPandas().iterrows():
+        if ch["_change_type"] == "delete":
+            state.pop(ch["doc_id"])
+        else:
+            state[ch["doc_id"]] = {
+                k: v for k, v in dict(ch).items() if k != "_change_type"
+            }
+    rebuilt = pd.DataFrame(list(state.values()))
+    assert_pdf_equal(rebuilt, lake.read().toPandas())
+
+
+def test_changes_across_compaction(spark, lake):
+    """Compaction rewrites old rows into files stamped with a NEW
+    commit dir — the row-level ``_commit`` range filter (not just file
+    pruning) must keep pre-``from`` rows out of the feed."""
+    events = gen_events_pandas(0, 3000, seed=33, n_docs=150)
+    chunks = [events.iloc[i::5] for i in range(5)]
+    versions = []
+    for bid, chunk in enumerate(chunks):
+        versions.append(
+            lake.merge(
+                prepare_batch(_spark_events(spark, chunk)), bid,
+                auto_compact_deltas=2,  # force folds mid-replay
+            )["version"]
+        )
+    lake.compact()  # everything now lives in compaction files
+    vf = versions[2]
+    ev_from = pd.concat(chunks[:3])
+    got = lake.read_changes(vf).toPandas()
+    assert_pdf_equal(got, oracle_changes(ev_from, events))
+
+
+def test_changes_empty_range_and_errors(spark, lake):
+    events = gen_events_pandas(0, 500, seed=34, n_docs=50)
+    v1 = lake.merge(prepare_batch(_spark_events(spark, events)), 0)["version"]
+    same = lake.read_changes(v1, v1)
+    assert same.count() == 0 and "_change_type" in same.columns
+    with pytest.raises(ValueError, match="from_version"):
+        lake.read_changes(v1 + 1, v1)
+    # from the empty table, everything live is an insert
+    full = lake.read_changes(0).toPandas()
+    assert (full["_change_type"] == "insert").all()
+    assert_pdf_equal(
+        full.drop(columns=["_change_type"]), oracle_reduce(events)
+    )
+
+
+def test_changes_bounded_to_version(spark, lake):
+    """to_version pins the feed's upper snapshot: commits after it are
+    invisible, and the payload is the to-version winner."""
+    events = gen_events_pandas(0, 1800, seed=35, n_docs=100)
+    chunks = [events.iloc[i::3] for i in range(3)]
+    versions = [
+        lake.merge(prepare_batch(_spark_events(spark, c)), b)["version"]
+        for b, c in enumerate(chunks)
+    ]
+    got = lake.read_changes(versions[0], versions[1]).toPandas()
+    assert_pdf_equal(
+        got, oracle_changes(chunks[0], pd.concat(chunks[:2]))
+    )
+
+
+def test_changes_schema_evolution(spark, lake):
+    """A feed spanning an additive-evolution commit exposes the
+    to-version schema; pre-evolution from-state still prunes/compares
+    correctly on its own (narrower) schema."""
+    old = gen_events_pandas(0, 800, seed=36, n_docs=80)
+    new = gen_events_pandas(800, 800, seed=36, n_docs=80, with_lang=True)
+    v1 = lake.merge(prepare_batch(_spark_events(spark, old)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, new, with_lang=True)), 1)
+    got = lake.read_changes(v1).toPandas()
+    assert "lang" in got.columns
+    combined = pd.concat([old, new], ignore_index=True)
+    assert_pdf_equal(got, oracle_changes(old, combined))
+
+
+def test_changes_file_pruning(spark, lake):
+    """Scale shape: feed cost ∝ changes, not table size.  After a big
+    commit and a 1-key commit, the feed's scan reads (a) only files
+    written after ``from`` for the range side and (b) only the touched
+    key's bucket from the from-state side — never the whole table."""
+    events = gen_events_pandas(0, 2000, seed=37, n_docs=300)
+    v1 = lake.merge(prepare_batch(_spark_events(spark, events)), 0)["version"]
+    one = pd.DataFrame(
+        [[99_999, "update", "doc-00000007", [7], 1, "web", T0]], columns=COLS
+    )
+    lake.merge(prepare_batch(_spark_events(spark, one)), 1)
+    feed = lake.read_changes(v1)
+    got = feed.toPandas()
+    assert list(got["doc_id"]) == ["doc-00000007"]
+    scanned = set(feed.inputFiles())
+    every = set(lake.read_raw().inputFiles())
+    assert scanned and scanned < every
+    # every scanned pre-``from`` file belongs to the ONE touched bucket
+    def bucket_of(path: str) -> str:
+        part = [p for p in path.split("/") if p.startswith("_bucket=")]
+        return part[0] if part else "?"
+
+    old_files = [
+        f for f in scanned
+        if HashLakeTable._file_commit_version(f) <= v1
+    ]
+    assert old_files and len({bucket_of(f) for f in old_files}) == 1
+
+
+def test_cli_changes_subcommand(spark, tmp_path):
+    from investigraph_etl_spark.changelog import (
+        read_changelog_pandas,
+        write_changelog,
+    )
+    from investigraph_etl_spark.run import main
+
+    log = str(tmp_path / "log")
+    write_changelog(log, 1200, chunk_size=300, seed=38, n_docs=100)
+    main(["replay", "--changelog", log, "--lake", str(tmp_path / "lake"),
+          "--num-buckets", "8"])
+    lake = HashLakeTable(spark, str(tmp_path / "lake"))
+    vf = lake.version
+    one = pd.DataFrame(
+        [[99_999, "insert", "doc-brandnew", [1, 2], 2, "web", T0]], columns=COLS
+    )
+    lake.merge(prepare_batch(_spark_events(spark, one)), 10_000)
+    out = str(tmp_path / "feed")
+    main(["changes", "--lake", str(tmp_path / "lake"),
+          "--from-version", str(vf), "--out", out, "--num-buckets", "8"])
+    got = spark.read.parquet(out).toPandas()
+    ev = read_changelog_pandas(log)
+    assert_pdf_equal(got, oracle_changes(ev, pd.concat([ev, one])))
