@@ -777,6 +777,33 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read(version=versions[0])
 
 
+def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance — the Delta CDF
+    consumer pattern: bootstrap a (event_type → live-row count,
+    Σvalue) derived table at snapshot v1, then fold the PREIMAGE
+    change feed v1→v2 into it (subtract preimages/deletes, add
+    inserts/postimages; operators/incremental.py).  Must equal the
+    oracle's full recompute over the final state — while only ever
+    scanning the feed + the old state, never re-reading the table."""
+    from investigraph_etl_spark.operators.incremental import (
+        aggregate_state,
+        apply_feed,
+    )
+
+    lake, versions = _events_lake(spark, sf_dir)
+    state = aggregate_state(
+        lake.read(version=versions[0]), ["event_type"],
+        sum_cols={"total_value": "value"},
+    )
+    feed = lake.read_changes(versions[0], include_preimage=True)
+    new = apply_feed(
+        state, feed, ["event_type"], sum_cols={"total_value": "value"}
+    )
+    return new.select(
+        "event_type", "n_rows", F.round("total_value", 2).alias("total_value")
+    )
+
+
 def q_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed OUT of the lake (Delta CDF / Iceberg changelog-scan
     analog): replay events as two commits, then ``read_changes`` from
@@ -832,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_point_lookup": q_lake_point_lookup,
         "lake_time_travel": q_lake_time_travel,
         "lake_change_feed": q_lake_change_feed,
+        "lake_incremental_agg": q_lake_incremental_agg,
         # rows-only (no SQL-expressible oracle):
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1115,6 +1143,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE (f.seq IS NULL OR t.seq != f.seq)
               AND NOT (t.event_type = 'error'
                        AND (f.user_id IS NULL OR f.event_type = 'error'))
+        """,
+        "lake_incremental_agg": """
+            WITH t AS (
+              SELECT user_id, arg_max(event_type, event_id) AS event_type,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id
+            )
+            SELECT event_type, COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM t WHERE event_type != 'error' GROUP BY event_type
         """,
         "range_join": """
             WITH c AS (SELECT user_id, ts, value AS click_value FROM events

@@ -300,17 +300,33 @@ class HashLakeTable:
         return int(m[-1])
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """NET row-level change feed between two retained snapshots —
         the Delta CDF / Iceberg changelog-scan analog (CDC *out* of the
         lake, for downstream incremental consumers).  Returns the
-        to-version payload schema plus ``_change_type`` ∈
-        {'insert','update','delete'}: one row per key whose live state
-        differs between the snapshots.  Delete rows carry the key and
-        null payload.  A key touched in the range whose late events all
-        LOSE the LWW race to the from-state winner emits nothing (no
-        net change) — same guard as the merge path.
+        to-version payload schema plus ``_change_type``: one row per
+        key whose live state differs between the snapshots.  A key
+        touched in the range whose late events all LOSE the LWW race to
+        the from-state winner emits nothing (no net change) — same
+        guard as the merge path.
+
+        ``include_preimage=False`` (default): ``_change_type`` ∈
+        {'insert','update','delete'}; delete rows carry the key and
+        null payload; the from-state side of the scan reads only the
+        narrow internal columns (key, _seq, _commit, _deleted).
+
+        ``include_preimage=True`` (the Delta CDF row shape): updates
+        emit TWO rows — 'update_preimage' (from-state payload) then
+        'update_postimage' — and delete rows carry the deleted
+        (from-state) payload.  This is what makes the feed invertible
+        for downstream incremental aggregation (subtract preimages,
+        add postimages — operators/incremental.py); it costs reading
+        the from state's payload columns for the touched buckets.
 
         Scale shape: cost ∝ changes in range, never table size.
         (1) File pruning: only files whose writing commit is
@@ -319,10 +335,7 @@ class HashLakeTable:
         ``_commit``), with the row-level ``_commit`` range filter on
         top for compacted files that mix old rows in.
         (2) The from-state comparison scans ONLY the touched keys'
-        buckets, and only their narrow internal columns (key, _seq,
-        _commit, _deleted — the payload side of the from state is
-        never read; emitted payloads always come from the range
-        winner).  Requires both manifests retained (same retention
+        buckets.  Requires both manifests retained (same retention
         contract as :meth:`vacuum` / time travel).
         """
         from investigraph_etl_spark.operators.lww import lww_dedup
@@ -367,36 +380,70 @@ class HashLakeTable:
         )
         man_from = self._manifest_at(from_version)
         pay_from = StructType.fromJson(man_from["schema"])
-        s_raw = lww_dedup(
+        pre_cols = [f.name for f in pay_from.fields if f.name != self.key]
+        s_sel = [
+            F.col(self.key).alias("_s_key"),
+            F.col("_seq").alias("_s_seq"),
+            F.col("_commit").alias("_s_commit"),
+            F.col("_deleted").alias("_s_deleted"),
+        ]
+        if include_preimage:
+            # the preimage shape needs the from-state payload; columns
+            # added after from_version read as null in the preimage
+            s_sel += [F.col(c).alias(f"_s_{c}") for c in pre_cols]
+        j = lww_dedup(
             self._scan(self._bucket_files(touched, man_from), pay_from),
             self.key,
             "_seq",
             extra_keys=("_commit",),
             winners_strategy="auto",
-        ).select(
-            F.col(self.key).alias("_s_key"),
-            F.col("_seq").alias("_s_seq"),
-            F.col("_commit").alias("_s_commit"),
-            F.col("_deleted").alias("_s_deleted"),
-        )
-        j = w.join(s_raw, w[self.key] == s_raw["_s_key"], "left")
+        ).select(*s_sel)
+        j = w.join(j, w[self.key] == F.col("_s_key"), "left")
         w_wins = F.col("_s_key").isNull() | (
             F.struct(F.col("_seq"), F.col("_commit"))
             > F.struct(F.col("_s_seq"), F.col("_s_commit"))
         )
         s_live = F.col("_s_key").isNotNull() & ~F.col("_s_deleted")
-        change = (
-            F.when(~s_live, F.lit("insert"))
-            .when(F.col("_deleted"), F.lit("delete"))
-            .otherwise(F.lit("update"))
-        )
-        return (
+        filtered = (
             j.filter(w_wins)
             # a delete of a key that was not live at from_version is a
             # no-op for net-diff consumers
             .filter(~(F.col("_deleted") & ~s_live))
-            .select(*pay_cols, change.alias("_change_type"))
         )
+        if not include_preimage:
+            change = (
+                F.when(~s_live, F.lit("insert"))
+                .when(F.col("_deleted"), F.lit("delete"))
+                .otherwise(F.lit("update"))
+            )
+            return filtered.select(*pay_cols, change.alias("_change_type"))
+
+        def _mk(change_type: str, pre: bool):
+            """One feed row as a struct: key + payload (from- or
+            to-state) + change type, cast to the to-version schema so
+            every ``when`` branch agrees on the struct type."""
+            vals = []
+            for c in pay_cols:
+                if c == self.key:
+                    src = F.col(self.key)
+                elif pre:
+                    src = F.col(f"_s_{c}") if c in pre_cols else F.lit(None)
+                else:
+                    src = F.col(c)
+                vals.append(src.cast(pay_to[c].dataType).alias(c))
+            vals.append(F.lit(change_type).alias("_change_type"))
+            return F.struct(*vals)
+
+        rows = (
+            F.when(~s_live, F.array(_mk("insert", False)))
+            .when(F.col("_deleted"), F.array(_mk("delete", True)))
+            .otherwise(
+                F.array(
+                    _mk("update_preimage", True), _mk("update_postimage", False)
+                )
+            )
+        )
+        return filtered.select(F.explode(rows).alias("_r")).select("_r.*")
 
     # --------------------------------------------------------- evolve
     def add_columns(self, new_fields: list[StructField]) -> None:

@@ -238,6 +238,172 @@ def test_changes_file_pruning(spark, lake):
     assert old_files and len({bucket_of(f) for f in old_files}) == 1
 
 
+def oracle_changes_preimage(
+    ev_from: pd.DataFrame, ev_all: pd.DataFrame
+) -> list[dict]:
+    """Expected Delta-CDF-shape rows: updates emit a preimage/postimage
+    pair, deletes carry the from-state payload."""
+    f = oracle_reduce(ev_from, with_tombstones=True).set_index("doc_id")
+    t = oracle_reduce(ev_all, with_tombstones=True).set_index("doc_id")
+    pay_cols = [c for c in t.columns if c not in ("_deleted", "_seq")]
+
+    def payload(row, cols):
+        return {
+            c: (row[c] if c in row.index else None) if row is not None else None
+            for c in cols
+        }
+
+    rows = []
+    for key, trow in t.iterrows():
+        frow = f.loc[key] if key in f.index else None
+        if frow is not None and frow["_seq"] == trow["_seq"]:
+            continue
+        f_live = frow is not None and not frow["_deleted"]
+        if trow["_deleted"]:
+            if f_live:
+                rows.append(
+                    {"doc_id": key, **payload(frow, pay_cols),
+                     "_change_type": "delete"}
+                )
+        elif not f_live:
+            rows.append(
+                {"doc_id": key, **payload(trow, pay_cols),
+                 "_change_type": "insert"}
+            )
+        else:
+            rows.append(
+                {"doc_id": key, **payload(frow, pay_cols),
+                 "_change_type": "update_preimage"}
+            )
+            rows.append(
+                {"doc_id": key, **payload(trow, pay_cols),
+                 "_change_type": "update_postimage"}
+            )
+    return rows
+
+
+def _row_key(d: dict):
+    from tests.conftest import _norm
+
+    return tuple(str(_norm(d[k])) for k in sorted(d))
+
+
+def assert_rows_equal(got: pd.DataFrame, expected: list[dict]):
+    g = sorted(_row_key(dict(r)) for _, r in got.iterrows())
+    e = sorted(_row_key(r) for r in expected)
+    assert g == e, f"first diff: {next(((a, b) for a, b in zip(g, e) if a != b), (len(g), len(e)))}"
+
+
+def test_changes_preimage_feed_matches_oracle(spark, lake):
+    events = gen_events_pandas(0, 3000, seed=41, n_docs=200, dirty_frac=0.1)
+    ev1, ev2 = events.iloc[::2], events.iloc[1::2]
+    v1 = lake.merge(prepare_batch(_spark_events(spark, ev1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, ev2)), 1)
+    got = lake.read_changes(v1, include_preimage=True).toPandas()
+    kinds = set(got["_change_type"])
+    assert kinds == {"insert", "update_preimage", "update_postimage", "delete"}
+    # pre/post rows come in pairs per updated key
+    ups = got[got["_change_type"].str.startswith("update_")]
+    assert (ups.groupby("doc_id").size() == 2).all()
+    assert_rows_equal(got, oracle_changes_preimage(ev1, events))
+
+
+def test_changes_preimage_delete_carries_old_payload(spark, lake):
+    c1 = pd.DataFrame(
+        [[1, "insert", "a", [1, 2], 2, "web", T0]], columns=COLS
+    )
+    c2 = pd.DataFrame(
+        [[9, "delete", "a", None, None, None, T0]], columns=COLS
+    )
+    v1 = lake.merge(prepare_batch(_spark_events(spark, c1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, c2)), 1)
+    got = lake.read_changes(v1, include_preimage=True).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["_change_type"] == "delete"
+    assert list(r["tokens"]) == [1, 2] and r["source"] == "web"
+
+
+def test_incremental_agg_matches_recompute(spark, lake):
+    """The end-to-end CDF consumer: a (source → count, Σn_tok) derived
+    table maintained from the preimage feed must equal a full
+    recompute over the live table — including group migrations (a
+    doc whose source changed) and null group keys (dirty sources
+    normalize to None)."""
+    from investigraph_etl_spark.operators.incremental import (
+        aggregate_state,
+        apply_feed,
+    )
+
+    events = gen_events_pandas(0, 4000, seed=42, n_docs=250, dirty_frac=0.15)
+    chunks = [events.iloc[i::3] for i in range(3)]
+    versions = [
+        lake.merge(prepare_batch(_spark_events(spark, c)), b)["version"]
+        for b, c in enumerate(chunks)
+    ]
+    v1 = versions[0]
+    state = aggregate_state(
+        lake.read(version=v1), ["source"], sum_cols={"total_tok": "n_tok"}
+    )
+    feed = lake.read_changes(v1, include_preimage=True)
+    new = apply_feed(state, feed, ["source"], sum_cols={"total_tok": "n_tok"})
+    full = aggregate_state(
+        lake.read(), ["source"], sum_cols={"total_tok": "n_tok"}
+    )
+    assert_pdf_equal(new.toPandas(), full.toPandas(), key="source")
+
+
+def test_incremental_agg_bootstrap_from_empty(spark, lake):
+    from investigraph_etl_spark.operators.incremental import (
+        aggregate_state,
+        apply_feed,
+    )
+
+    events = gen_events_pandas(0, 1500, seed=43, n_docs=100)
+    lake.merge(prepare_batch(_spark_events(spark, events)), 0)
+    feed = lake.read_changes(0, include_preimage=True)
+    got = apply_feed(None, feed, ["source"], sum_cols={"total_tok": "n_tok"})
+    full = aggregate_state(
+        lake.read(), ["source"], sum_cols={"total_tok": "n_tok"}
+    )
+    assert_pdf_equal(got.toPandas(), full.toPandas(), key="source")
+
+
+def test_apply_feed_rejects_net_feed(spark, lake):
+    """A net feed (plain 'update' rows, no preimages) is not
+    invertible — apply_feed must fail loudly, not double-count."""
+    from investigraph_etl_spark.operators.incremental import apply_feed
+
+    events = gen_events_pandas(0, 1000, seed=44, n_docs=50)
+    ev1, ev2 = events.iloc[::2], events.iloc[1::2]
+    v1 = lake.merge(prepare_batch(_spark_events(spark, ev1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, ev2)), 1)
+    net = lake.read_changes(v1)  # no preimages
+    assert (net.toPandas()["_change_type"] == "update").any()
+    with pytest.raises(Exception, match="preimage"):
+        apply_feed(None, net, ["source"]).collect()
+
+
+def test_changes_survive_vacuum_retention(spark, lake):
+    """read_changes across a vacuumed table: both manifests retained ⇒
+    the feed still works (vacuum keeps every retained manifest's
+    files); an expired from-version raises instead of mis-reading."""
+    events = gen_events_pandas(0, 2500, seed=45, n_docs=120)
+    chunks = [events.iloc[i::5] for i in range(5)]
+    versions = [
+        lake.merge(
+            prepare_batch(_spark_events(spark, c)), b, auto_compact_deltas=2
+        )["version"]
+        for b, c in enumerate(chunks)
+    ]
+    lake.vacuum(keep_manifests=3)
+    vf = versions[-3]
+    got = lake.read_changes(vf).toPandas()
+    assert_pdf_equal(got, oracle_changes(pd.concat(chunks[:3]), events))
+    with pytest.raises(ValueError, match="expired|not available"):
+        lake.read_changes(versions[0]).count()
+
+
 def test_cli_changes_subcommand(spark, tmp_path):
     from investigraph_etl_spark.changelog import (
         read_changelog_pandas,
