@@ -259,6 +259,40 @@ def test_dup_clusters_random_graph_vs_union_find(spark):
         assert got == expected, f"local_threshold={thr}"
 
 
+def test_dup_clusters_star_loop_at_scale(spark):
+    """The distributed star-loop path at a size where many
+    large/small-star rounds genuinely run (80k edges: dense random
+    components + a 1k-deep path): must agree exactly with the
+    single-task vectorized union-find path on the same edge set.
+    This is the unbounded-scale path the toy tests barely enter."""
+    import numpy as np
+    import pandas as pd
+
+    from investigraph_etl_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    rand = rng.integers(0, n, size=(80_000, 2), dtype=np.int64)
+    path = np.arange(1_024, dtype=np.int64) + n
+    chain = np.stack([path, path + 1], axis=1)
+    edges = np.concatenate([rand, chain])
+    df = spark.createDataFrame(
+        pd.DataFrame({"id_a": edges[:, 0], "id_b": edges[:, 1]})
+    )
+    fast = {
+        r["id"]: r["canonical_id"]
+        for r in dup_clusters(df).collect()  # local union-find path
+    }
+    star = {
+        r["id"]: r["canonical_id"]
+        for r in dup_clusters(df, local_threshold=0).collect()
+    }
+    assert len(fast) > 25_000
+    # the chain collapsed into one component rooted at its min node
+    assert all(fast[i] == n for i in range(n, n + 1_025))
+    assert star == fast
+
+
 def test_dup_clusters_long_chain(spark):
     """A single path graph is the worst case for label propagation —
     large-star/small-star must still converge to one component."""
