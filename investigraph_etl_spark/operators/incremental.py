@@ -24,7 +24,12 @@ union-then-groupBy, not an equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import pathlib
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _ADD = ("insert", "update_postimage")
@@ -99,3 +104,89 @@ def apply_feed(
             .agg(*[F.sum(m).alias(m) for m in measures])
         )
     return merged.filter(F.col(count_col) > 0)
+
+
+class DerivedAggTable:
+    """A continuously maintained materialized aggregate over a lake —
+    the streaming-materialized-view pattern, persisted next to (not
+    inside) the lake it derives from.
+
+    The table stores its own ``_latest`` pointer = the LAKE version its
+    state reflects.  :meth:`refresh` reads the preimage change feed
+    from that version to the lake's current one, folds it in with
+    :func:`apply_feed`, writes the new state to a versioned directory,
+    and atomically swaps the pointer — so a refresh is a pure function
+    of (old state, feed) and the pointer swap is the only commit.
+
+    Consistency falls out of the version pointer, with NO coordination
+    with the writer:
+
+    * **skipped commits catch up** — a refresh after k lake commits
+      folds the single k-commit feed (the feed composes across
+      commits), so maintenance can run every batch, every N batches,
+      or from a cron;
+    * **crash safe** — dying mid-write leaves the pointer untouched
+      (the half-written directory is overwritten by the next attempt);
+      dying between the lake's commit and the refresh just widens the
+      next feed;
+    * **idempotent** — refreshing at an unchanged lake version is a
+      no-op, so Structured Streaming's replayed batches cannot
+      double-apply.
+
+    Retention contract: the lake must still retain the manifest of
+    this table's current version (``vacuum(keep_manifests=...)`` ≥ the
+    maximum refresh lag in commits), same rule as time travel.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_cols: list[str],
+        *,
+        count_col: str = "n_rows",
+        sum_cols: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.root = pathlib.Path(root)
+        self.group_cols = list(group_cols)
+        self.count_col = count_col
+        self.sum_cols = dict(sum_cols or {})
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def version(self) -> int:
+        """Lake version the current state reflects (0 = empty)."""
+        p = self.root / "_latest"
+        return int(p.read_text()) if p.exists() else 0
+
+    def state(self) -> DataFrame | None:
+        v = self.version
+        if v == 0:
+            return None
+        return self.spark.read.parquet(str(self.root / f"v{v:06d}"))
+
+    def refresh(self, lake) -> dict:
+        """Catch the derived table up to ``lake``'s current version."""
+        v0, v1 = self.version, lake.version
+        if v0 >= v1:
+            return {"skipped": True, "version": v0}
+        feed = lake.read_changes(v0, v1, include_preimage=True)
+        new = apply_feed(
+            self.state(),
+            feed,
+            self.group_cols,
+            count_col=self.count_col,
+            sum_cols=self.sum_cols,
+        )
+        out = self.root / f"v{v1:06d}"
+        new.write.mode("overwrite").parquet(str(out))
+        tmp = self.root / f"_latest.tmp.{uuid.uuid4().hex}"
+        tmp.write_text(str(v1))
+        os.replace(tmp, self.root / "_latest")
+        # keep the state we just read from (in-flight readers may still
+        # map its files); anything older is unreachable — drop it
+        for p in self.root.glob("v*"):
+            if p.is_dir() and int(p.name[1:]) < v0:
+                shutil.rmtree(p, ignore_errors=True)
+        return {"skipped": False, "version": v1, "from_version": v0}

@@ -146,6 +146,7 @@ def tail_changelog(
     available_now: bool = True,
     reduce_batch: bool = True,
     compact_mode: str = "sync",
+    derived: list | None = None,
 ):
     """Start the tailer; returns the StreamingQuery.
 
@@ -157,6 +158,10 @@ def tail_changelog(
     in-batch LWW reduce costs more than the duplicate bytes it saves
     on low-dup micro-batches, and async compaction overlaps the next
     commits; see sources/lake.py).  Defaults stay conservative.
+    ``derived`` — ``DerivedAggTable`` materialized views refreshed
+    after every batch's merge (operators/incremental.py): each keeps
+    its own lake-version pointer, so replayed batches are no-ops and
+    a view that missed batches catches up over the widened feed.
     With ``compact_mode="async"``, call ``lake.wait_for_compaction()``
     after the query terminates to land any inflight fold (state is
     correct either way; the unharvested output is merely orphaned and
@@ -194,6 +199,12 @@ def tail_changelog(
             reduce_batch=reduce_batch,
             compact_mode=compact_mode,
         )
+        # materialized views ride the same batch cadence; their own
+        # version pointer makes a replayed batch a no-op and lets a
+        # missed refresh catch up over the widened feed
+        # (operators/incremental.py DerivedAggTable)
+        for d in derived or []:
+            d.refresh(lake)
         dt = time.monotonic() - t0
         o = obs.get if not result.get("skipped") else {}
         max_et = o.get("max_event_time")

@@ -404,6 +404,72 @@ def test_changes_survive_vacuum_retention(spark, lake):
         lake.read_changes(versions[0]).count()
 
 
+def _fresh_derived(spark, tmp_path, name="agg"):
+    from investigraph_etl_spark.operators.incremental import DerivedAggTable
+
+    return DerivedAggTable(
+        spark, str(tmp_path / name), ["source"],
+        sum_cols={"total_tok": "n_tok"},
+    )
+
+
+def _recompute(spark, lake):
+    from investigraph_etl_spark.operators.incremental import aggregate_state
+
+    return aggregate_state(
+        lake.read(), ["source"], sum_cols={"total_tok": "n_tok"}
+    ).toPandas()
+
+
+def test_derived_table_tracks_lake(spark, lake, tmp_path):
+    """Refresh after every commit: the persisted materialized view
+    always equals a full recompute, and a same-version refresh is a
+    no-op (replayed-batch idempotency)."""
+    d = _fresh_derived(spark, tmp_path)
+    events = gen_events_pandas(0, 3000, seed=51, n_docs=150, dirty_frac=0.1)
+    chunks = [events.iloc[i::3] for i in range(3)]
+    for bid, chunk in enumerate(chunks):
+        lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+        r = d.refresh(lake)
+        assert not r["skipped"] and d.version == lake.version
+        assert_pdf_equal(d.state().toPandas(), _recompute(spark, lake), key="source")
+    assert d.refresh(lake)["skipped"]
+
+
+def test_derived_table_catches_up_over_gap(spark, lake, tmp_path):
+    """A refresh skipped for several commits folds the single
+    multi-commit feed — the crash-recovery / cron-cadence path."""
+    d = _fresh_derived(spark, tmp_path)
+    events = gen_events_pandas(0, 4000, seed=52, n_docs=200)
+    chunks = [events.iloc[i::4] for i in range(4)]
+    lake.merge(prepare_batch(_spark_events(spark, chunks[0])), 0)
+    d.refresh(lake)
+    # three commits land with no maintenance (simulated downtime)
+    for bid, chunk in enumerate(chunks[1:], start=1):
+        lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+    r = d.refresh(lake)
+    assert r["from_version"] == 1 and r["version"] == lake.version
+    assert_pdf_equal(d.state().toPandas(), _recompute(spark, lake), key="source")
+
+
+def test_tailer_maintains_derived_view(spark, lake, tmp_path):
+    """End-to-end streaming: the tailer refreshes the materialized
+    view every micro-batch; after the drain it equals a recompute."""
+    from investigraph_etl_spark.changelog import write_changelog
+    from investigraph_etl_spark.streaming.tailer import tail_changelog
+
+    d = _fresh_derived(spark, tmp_path)
+    log = str(tmp_path / "log")
+    write_changelog(log, 2000, chunk_size=250, seed=53, n_docs=150)
+    q = tail_changelog(
+        spark, log, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, derived=[d],
+    )
+    q.awaitTermination(300)
+    assert d.version == lake.version > 0
+    assert_pdf_equal(d.state().toPandas(), _recompute(spark, lake), key="source")
+
+
 def test_cli_changes_subcommand(spark, tmp_path):
     from investigraph_etl_spark.changelog import (
         read_changelog_pandas,
