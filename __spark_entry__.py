@@ -233,6 +233,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filters: distinct-word ratio,
+    top-word / top-bigram fractions + keep flag (one gram explode, two
+    map-side-combine hash aggs — operators/textstats.py)."""
+    from investigraph_etl_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from investigraph_etl_spark.operators.textstats import (
         bpe_ish_token_count,
@@ -835,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
+        "repetition_signals": q_repetition_signals,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1028,6 +1038,41 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "repetition_signals": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w != '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, 'w' AS kind, unnest(w) AS gram FROM ws
+              UNION ALL
+              SELECT doc_id, 'b',
+                     unnest(list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i + 1]))
+              FROM ws WHERE len(w) >= 2
+            ), c AS (
+              SELECT doc_id, kind, gram, COUNT(*) AS n
+              FROM g GROUP BY doc_id, kind, gram
+            ), d AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN kind = 'w' THEN n END) AS n_words,
+                     COUNT(CASE WHEN kind = 'w' THEN 1 END) AS n_distinct,
+                     MAX(CASE WHEN kind = 'w' THEN n END) AS top_word,
+                     SUM(CASE WHEN kind = 'b' THEN n END) AS n_bigrams,
+                     MAX(CASE WHEN kind = 'b' THEN n END) AS top_bigram
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, n_words,
+                   ROUND(n_distinct / n_words, 4) AS distinct_word_ratio,
+                   ROUND(top_word / n_words, 4) AS top_word_frac,
+                   ROUND(COALESCE(top_bigram / n_bigrams, 0), 4) AS top_bigram_frac,
+                   (ROUND(n_distinct / n_words, 4) >= 0.2
+                    AND ROUND(top_word / n_words, 4) <= 0.2
+                    AND ROUND(COALESCE(top_bigram / n_bigrams, 0), 4) <= 0.18)
+                       AS rep_keep
+            FROM d
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -70,6 +70,7 @@ HEADLINE = [
     "stratified_sample",
     "range_join",
     "decontaminate",
+    "repetition_signals",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))

@@ -155,6 +155,71 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters): per doc the
+    distinct-word ratio, most-frequent-word fraction, and
+    most-frequent-bigram fraction, plus a keep/drop flag — repetitious
+    boilerplate (SEO spam, scraped templates, decoding loops) shows up
+    as a high top-gram share long before exact dedup catches it.
+
+    Scale shape: ONE explode of (word ∪ bigram) grams → two hash
+    aggregates with map-side combine (fixed-width buffers) — cost ∝
+    total tokens.  The zero-shuffle pure-expression alternative (count
+    each distinct gram with a nested ``filter`` lambda) is
+    O(n·distinct) per document and degrades quadratically on long
+    docs, so the shuffle is the right trade here.
+
+    The keep rule evaluates the ROUNDED ratios so the flag is
+    reproducible bit-for-bit across engines (the oracle runs the same
+    rule in SQL).  Documents with zero words emit no row.
+    """
+    w = words(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.slice(w, 1, F.size(w) - 1),
+            lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram = lambda kind, x: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), x.alias("gram")
+    )
+    grams = F.concat(
+        F.transform(w, lambda x: gram("w", x)),
+        F.transform(bigrams, lambda x: gram("b", x)),
+    )
+    ex = fan_out(df).select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", "g.kind", "g.gram")
+    counts = ex.groupBy("doc_id", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    is_w = F.col("kind") == "w"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("n"))).alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("n"))).alias("top_word"),
+        F.sum(F.when(~is_w, F.col("n"))).alias("n_bigrams"),
+        F.max(F.when(~is_w, F.col("n"))).alias("top_bigram"),
+    )
+    dr = F.round(F.col("n_distinct") / F.col("n_words"), 4)
+    twf = F.round(F.col("top_word") / F.col("n_words"), 4)
+    tbf = F.round(
+        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        dr.alias("distinct_word_ratio"),
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        (
+            (dr >= 0.2) & (twf <= 0.2) & (tbf <= 0.18)
+        ).alias("rep_keep"),
+    )
+
+
 # ------------------------------------------------------------ PII scrub
 
 # Patterns restricted to syntax Java regex and DuckDB/RE2 interpret

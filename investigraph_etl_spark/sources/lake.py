@@ -371,13 +371,30 @@ class HashLakeTable:
             range_rows, self.key, "_seq",
             extra_keys=("_commit",), winners_strategy="auto",
         )
-        # touched buckets: bounded by num_buckets — tiny driver fetch
-        bucket_expr = F.pmod(
-            F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)
-        ).cast("int")
-        touched = sorted(
-            r["b"] for r in w.select(bucket_expr.alias("b")).distinct().collect()
-        )
+        # touched buckets for the from-state scan — bounded by
+        # num_buckets either way.  Fast path: a pure-delta file set
+        # (no compaction outputs) is per-commit-per-bucket by
+        # construction, so the bucket set reads straight off the
+        # ``_bucket=N`` path components — zero Spark jobs, which is
+        # what keeps a per-micro-batch derived-view refresh at one
+        # aggregation job.  Compacted files mix buckets' history, so
+        # there the precise narrow distinct job runs instead (a
+        # path-derived set would degrade to all buckets after a full
+        # compact and void the pruning).
+        import re
+
+        delta_pat = re.compile(r"c\d{6}(x|a)?/_bucket=(\d+)/")
+        marks = [delta_pat.search(f) for f in files]
+        if all(m is not None and m.group(1) is None for m in marks):
+            touched = sorted({int(m.group(2)) for m in marks})
+        else:
+            bucket_expr = F.pmod(
+                F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)
+            ).cast("int")
+            touched = sorted(
+                r["b"]
+                for r in w.select(bucket_expr.alias("b")).distinct().collect()
+            )
         man_from = self._manifest_at(from_version)
         pay_from = StructType.fromJson(man_from["schema"])
         pre_cols = [f.name for f in pay_from.fields if f.name != self.key]

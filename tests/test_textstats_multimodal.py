@@ -118,3 +118,27 @@ def test_pii_scrub_redacts_typed_spans(spark):
     assert "<phone>" in out[2]["text_clean"] and out[2]["n_redactions"] >= 1
     assert out[3]["text_clean"] == "server at <ipv4> responded"
     assert out[4]["n_redactions"] == 0 and out[4]["text_clean"] == rows[3][1]
+
+
+def test_repetition_stats_flags_loops(spark):
+    """Gopher repetition filters: a one-word loop and a bigram loop are
+    dropped, natural text is kept, single-word docs are well-defined."""
+    from investigraph_etl_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "the quick brown fox jumps over a lazy dog near banks"),
+            (4, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["top_word_frac"] == 1.0 and not got[1]["rep_keep"]
+    assert got[2]["top_bigram_frac"] > 0.18 and not got[2]["rep_keep"]
+    assert got[3]["rep_keep"]
+    assert got[4]["n_words"] == 1 and got[4]["top_bigram_frac"] == 0.0
+    # empty-text docs emit no row
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    assert repetition_stats(empty).count() == 0
