@@ -355,6 +355,7 @@ def write_bench_md(result: dict) -> None:
     cdc = result["cdc"]
     lo, hi = cdc["runs"][0], cdc["runs"][1]
     inc = cdc["incremental"]
+    dm = cdc["derived_maintenance"]
     iso = cdc["isolation"]
     st = cdc["streaming_tailer"]
     ex = cdc.get("executor_scaling")
@@ -470,6 +471,21 @@ def write_bench_md(result: dict) -> None:
         f"- total: {inc['seconds']}s (reps: {inc['times']}) → "
         f"{inc['events_per_sec']:,} events/s sustained across "
         f"{inc['batches']} commits",
+        "",
+        "## Materialized-view maintenance (change feed → derived aggregate)",
+        "",
+        "The same ingest with a DerivedAggTable (source → live-row",
+        "count, Σn_tok) refreshed after EVERY commit: preimage change",
+        "feed from the view's version pointer to the lake head, signed",
+        "fold, atomic pointer swap (operators/incremental.py).  Feed",
+        "cost ∝ the commit's changes (file-pruned to post-commit delta",
+        "files + touched buckets), so per-refresh time is flat across",
+        "commits while the table grows:",
+        "",
+        f"- ingest+maintenance total: {dm['seconds']}s (reps: {dm['times']})"
+        f" vs {inc['seconds']}s ingest alone",
+        f"- per-refresh (best rep): {dm['refresh_times']} → "
+        f"{dm['refresh_total']}s across {dm['batches']} refreshes",
         "",
         "## Streaming tailer (the product surface)",
         "",
@@ -587,6 +603,15 @@ def main() -> None:
     # the north rule actually describes (binlog tail → periodic merge)
     inc = run_replay(cores, log_dir, work, 2, batches=INC_BATCHES)
 
+    # the same ingest with a materialized view refreshed after every
+    # commit (preimage change feed → signed fold into the derived
+    # aggregate; operators/incremental.py) — the marginal cost of
+    # per-commit derived-table maintenance at the real cadence
+    deriv = run_replay(
+        cores, log_dir, f"{work}/deriv", 2, batches=INC_BATCHES,
+        env={**os.environ, "SPARK_GRAFT_REPLAY_DERIVED": "1"},
+    )
+
     # the PRODUCT surface: the same log drained by the Structured
     # Streaming tailer (file source → checkpointed foreachBatch merge,
     # availableNow) — includes streaming-engine overhead the direct
@@ -631,6 +656,13 @@ def main() -> None:
             "times": inc["times"],
             "seconds": inc["seconds"],
             "events_per_sec": inc["events_per_sec"],
+        },
+        "derived_maintenance": {
+            "batches": deriv["batches"],
+            "times": deriv["times"],
+            "seconds": deriv["seconds"],
+            "refresh_times": deriv.get("derived_refresh_times"),
+            "refresh_total": deriv.get("derived_refresh_total"),
         },
         "streaming_tailer": {
             "batches": stream["batches"],

@@ -146,12 +146,19 @@ class DerivedAggTable:
         *,
         count_col: str = "n_rows",
         sum_cols: dict[str, str] | None = None,
+        write_partitions: int = 1,
     ):
         self.spark = spark
         self.root = pathlib.Path(root)
         self.group_cols = list(group_cols)
         self.count_col = count_col
         self.sum_cols = dict(sum_cols or {})
+        # aggregate states are small by definition (bounded by group
+        # cardinality, not table size) — one output file keeps the
+        # per-refresh write job at one task instead of
+        # shuffle_partitions near-empty ones.  Raise for
+        # high-cardinality groups (e.g. per-doc stats).
+        self.write_partitions = write_partitions
         self.root.mkdir(parents=True, exist_ok=True)
 
     @property
@@ -180,6 +187,8 @@ class DerivedAggTable:
             sum_cols=self.sum_cols,
         )
         out = self.root / f"v{v1:06d}"
+        if self.write_partitions:
+            new = new.coalesce(self.write_partitions)
         new.write.mode("overwrite").parquet(str(out))
         tmp = self.root / f"_latest.tmp.{uuid.uuid4().hex}"
         tmp.write_text(str(v1))

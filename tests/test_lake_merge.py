@@ -394,3 +394,25 @@ def test_time_travel_schema_as_of_version(spark, lake):
     old_cols = set(lake.read(version=s1["version"]).columns)
     new_cols = set(lake.read().columns)
     assert "lang" not in old_cols and "lang" in new_cols
+
+
+def test_mvcc_pinned_reader_sees_stable_snapshot(spark, lake):
+    """A DataFrame built before later commits is pinned to its
+    snapshot's file set (manifest captured at plan time; compaction
+    supersedes but never deletes — only vacuum does): collecting it
+    AFTER more merges and forced compactions must still return the
+    old state, while a fresh read sees the new one."""
+    events = gen_events_pandas(0, 2400, seed=61, n_docs=120)
+    first, rest = events.iloc[:1200], events.iloc[1200:]
+    lake.merge(prepare_batch(_spark_events(spark, first)), 0)
+    pinned = lake.read()
+    expected_old = oracle_reduce(first)
+    for bid, start in enumerate(range(0, 1200, 400), start=1):
+        lake.merge(
+            prepare_batch(_spark_events(spark, rest.iloc[start : start + 400])),
+            bid,
+            auto_compact_deltas=2,  # force folds while the reader is pinned
+        )
+    lake.compact()
+    assert_pdf_equal(pinned.toPandas(), expected_old)
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))

@@ -175,3 +175,20 @@ def test_stratified_sample_is_pure_narrow_filter(spark):
     assert "Exchange" not in t
     assert "Join" not in t
     assert "Python" not in plan  # no UDF fallback
+
+
+def test_repetition_signals_two_hash_aggs_no_join(spark):
+    """Repetition stats = one gram explode feeding two hash-aggregate
+    rounds: exactly two hash-partition Exchanges (gram counts, per-doc
+    fold) plus the deliberate round-robin fan-out — never a join, and
+    both aggregates must be HashAggregate (fixed-width buffers), not
+    SortAggregate."""
+    plan = explain_str(entry.q_repetition_signals(spark, SF))
+    t = tree(plan)
+    assert "Join" not in t
+    hash_ex = [
+        l for l in plan.splitlines()
+        if "Arguments:" in l and "hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 2, hash_ex
+    assert "SortAggregate" not in t

@@ -131,7 +131,16 @@ def main() -> None:
     # overhead (offset tracking, per-batch planning, commit log).
     stream_mode = os.environ.get("SPARK_GRAFT_REPLAY_MODE") == "stream"
 
+    # SPARK_GRAFT_REPLAY_DERIVED=1 (batches mode only): maintain a
+    # materialized aggregate (source → count, Σn_tok) from the preimage
+    # change feed after every commit — measures the marginal cost of
+    # per-commit derived-view maintenance at the real ingest cadence.
+    derived_mode = (
+        os.environ.get("SPARK_GRAFT_REPLAY_DERIVED") == "1" and batches > 1
+    )
+
     times, final_rows = [], None
+    refresh_times_by_rep: list[list[float]] = []
     for i in range(reps):
         d = f"{work}/lake_{cores}_b{batches}_{i}"
         shutil.rmtree(d, ignore_errors=True)
@@ -175,29 +184,49 @@ def main() -> None:
             # deltas on the background thread, overlapped with the
             # next commits' write jobs.  The final wait is inside the
             # timed region: steady state must include compaction.
+            derived = None
+            if derived_mode:
+                from investigraph_etl_spark.operators.incremental import (
+                    DerivedAggTable,
+                )
+
+                dd = f"{work}/derived_{cores}_{i}"
+                shutil.rmtree(dd, ignore_errors=True)
+                derived = DerivedAggTable(
+                    spark, dd, ["source"], sum_cols={"total_tok": "n_tok"}
+                )
+                refreshes: list[float] = []
             for bid, group in enumerate(groups):
                 batch = spark.read.schema(change_schema()).parquet(*group)
                 lake.merge(
                     prepare_batch(batch), bid,
                     reduce_batch=False, compact_mode="async",
                 )
+                if derived is not None:
+                    tr = time.monotonic()
+                    derived.refresh(lake)
+                    refreshes.append(round(time.monotonic() - tr, 3))
             lake.wait_for_compaction()
+            if derived is not None:
+                refresh_times_by_rep.append(refreshes)
         times.append(round(time.monotonic() - t0, 2))
         if final_rows is None:
             final_rows = lake.read().count()
     best = min(times)
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "batches": len(groups),
-                "times": times,
-                "seconds": best,
-                "events_per_sec": round(n_events / best, 1),
-                "final_rows": final_rows,
-            }
-        )
-    )
+    out = {
+        "cores": cores,
+        "batches": len(groups),
+        "times": times,
+        "seconds": best,
+        "events_per_sec": round(n_events / best, 1),
+        "final_rows": final_rows,
+    }
+    if refresh_times_by_rep:
+        # the best (least-stalled) rep's per-commit refresh times
+        rt = refresh_times_by_rep[times.index(best)]
+        out["derived_refresh_times"] = rt
+        out["derived_refresh_total"] = round(sum(rt), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
