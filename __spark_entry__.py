@@ -804,7 +804,9 @@ def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake.read(version=versions[0]), ["event_type"],
         sum_cols={"total_value": "value"},
     )
-    feed = lake.read_changes(versions[0], include_preimage=True)
+    feed = lake.read_changes(
+        versions[0], include_preimage=True, columns=["event_type", "value"]
+    )
     new = apply_feed(
         state, feed, ["event_type"], sum_cols={"total_value": "value"}
     )

@@ -477,10 +477,14 @@ def write_bench_md(result: dict) -> None:
         "The same ingest with a DerivedAggTable (source → live-row",
         "count, Σn_tok) refreshed after EVERY commit: preimage change",
         "feed from the view's version pointer to the lake head, signed",
-        "fold, atomic pointer swap (operators/incremental.py).  Feed",
-        "cost ∝ the commit's changes (file-pruned to post-commit delta",
-        "files + touched buckets), so per-refresh time is flat across",
-        "commits while the table grows:",
+        "fold, atomic pointer swap (operators/incremental.py).  The",
+        "feed is projected to exactly the view's columns, so the",
+        "range side reads only the commit's delta files and the",
+        "preimage side reads only the touched buckets' REQUESTED",
+        "columns (never the token arrays) — measured: unprojected",
+        "refreshes grew 2.2→7.7s across 16 uniform-key commits as the",
+        "from-state payload scan tracked table size; projected",
+        "refreshes hold flat at the fixed per-job floor:",
         "",
         f"- ingest+maintenance total: {dm['seconds']}s (reps: {dm['times']})"
         f" vs {inc['seconds']}s ingest alone",

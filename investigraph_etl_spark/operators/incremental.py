@@ -178,7 +178,18 @@ class DerivedAggTable:
         v0, v1 = self.version, lake.version
         if v0 >= v1:
             return {"skipped": True, "version": v0}
-        feed = lake.read_changes(v0, v1, include_preimage=True)
+        # project the feed to exactly the columns this view aggregates:
+        # the from-state (preimage) scan then prunes to those columns —
+        # a view over two small columns never reads the token arrays,
+        # which is what keeps refresh cost metadata-weight when uniform
+        # batches touch every bucket (measured: unprojected refreshes
+        # GREW with table size; see BENCH.md)
+        feed = lake.read_changes(
+            v0,
+            v1,
+            include_preimage=True,
+            columns=[*self.group_cols, *self.sum_cols.values()],
+        )
         new = apply_feed(
             self.state(),
             feed,

@@ -305,6 +305,7 @@ class HashLakeTable:
         to_version: int | None = None,
         *,
         include_preimage: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """NET row-level change feed between two retained snapshots —
         the Delta CDF / Iceberg changelog-scan analog (CDC *out* of the
@@ -327,6 +328,18 @@ class HashLakeTable:
         for downstream incremental aggregation (subtract preimages,
         add postimages — operators/incremental.py); it costs reading
         the from state's payload columns for the touched buckets.
+        Merge-on-read trade, stated plainly: Delta computes preimages
+        at WRITE time because MERGE rewrites the old files anyway;
+        this lake's merge never reads the target, so preimage feeds
+        pay that read here instead.
+
+        ``columns`` restricts the payload to the listed columns (the
+        key is always included) — pass exactly what the consumer
+        aggregates so BOTH scans prune to narrow columns.  A derived
+        view over two small columns then never touches the token
+        arrays, which is the difference between a metadata-weight and
+        a full-table-weight refresh when uniform batches touch every
+        bucket.
 
         Scale shape: cost ∝ changes in range, never table size.
         (1) File pruning: only files whose writing commit is
@@ -347,11 +360,18 @@ class HashLakeTable:
             )
         man_to = self._manifest_at(to_version)
         pay_to = StructType.fromJson(man_to["schema"])
-        pay_cols = [f.name for f in pay_to.fields]
+        sel_fields = list(pay_to.fields)
+        if columns is not None:
+            want = set(columns) | {self.key}
+            unknown = want - {f.name for f in pay_to.fields}
+            if unknown:
+                raise ValueError(f"unknown payload columns: {sorted(unknown)}")
+            sel_fields = [f for f in pay_to.fields if f.name in want]
+        pay_cols = [f.name for f in sel_fields]
         empty = self.spark.createDataFrame(
             [],
             StructType(
-                list(pay_to.fields) + [StructField("_change_type", StringType())]
+                sel_fields + [StructField("_change_type", StringType())]
             ),
         )
         if from_version == to_version:
@@ -363,9 +383,16 @@ class HashLakeTable:
         ]
         if not files:
             return empty
-        range_rows = self._scan(files, pay_to).filter(
-            (F.col("_commit") > F.lit(from_version))
-            & (F.col("_commit") <= F.lit(to_version))
+        # explicit early projection: everything downstream (LWW, join,
+        # output) needs only the requested payload + internals, and the
+        # explicit select guarantees the parquet scan prunes to them
+        range_rows = (
+            self._scan(files, pay_to)
+            .select(*pay_cols, "_seq", "_deleted", "_commit")
+            .filter(
+                (F.col("_commit") > F.lit(from_version))
+                & (F.col("_commit") <= F.lit(to_version))
+            )
         )
         w = lww_dedup(
             range_rows, self.key, "_seq",
@@ -397,7 +424,11 @@ class HashLakeTable:
             )
         man_from = self._manifest_at(from_version)
         pay_from = StructType.fromJson(man_from["schema"])
-        pre_cols = [f.name for f in pay_from.fields if f.name != self.key]
+        pre_cols = [
+            f.name
+            for f in pay_from.fields
+            if f.name != self.key and f.name in pay_cols
+        ]
         s_sel = [
             F.col(self.key).alias("_s_key"),
             F.col("_seq").alias("_s_seq"),
@@ -408,8 +439,16 @@ class HashLakeTable:
             # the preimage shape needs the from-state payload; columns
             # added after from_version read as null in the preimage
             s_sel += [F.col(c).alias(f"_s_{c}") for c in pre_cols]
+        # explicit early projection (same guarantee as the range side):
+        # without preimages the from state is metadata-narrow; with
+        # them it adds only the REQUESTED payload columns — never the
+        # rest of the row
+        s_scan = self._scan(
+            self._bucket_files(touched, man_from), pay_from
+        ).select(self.key, *pre_cols if include_preimage else [],
+                 "_seq", "_deleted", "_commit")
         j = lww_dedup(
-            self._scan(self._bucket_files(touched, man_from), pay_from),
+            s_scan,
             self.key,
             "_seq",
             extra_keys=("_commit",),

@@ -493,3 +493,46 @@ def test_cli_changes_subcommand(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     ev = read_changelog_pandas(log)
     assert_pdf_equal(got, oracle_changes(ev, pd.concat([ev, one])))
+
+
+def test_file_commit_version_parsing():
+    """Pure path parsing behind the feed's file-level pruning: delta
+    and compaction dir forms, and a root dir that itself looks like a
+    commit dir must not confuse the (last-match) parse."""
+    f = HashLakeTable._file_commit_version
+    assert f("/x/data/c000005/_bucket=3/part-0.parquet") == 5
+    assert f("/x/data/c000007x/_bucket=0/part-0.parquet") == 7
+    assert f("/x/data/c000009a/_bucket=1/p.parquet") == 9
+    assert f("/tmp/c123456_w/data/c000002/_bucket=1/p.parquet") == 2
+    with pytest.raises(ValueError):
+        f("/x/data/nope/part-0.parquet")
+
+
+def test_changes_column_projection_prunes_and_matches(spark, lake):
+    """columns= restricts the feed payload AND the scans: no parquet
+    ReadSchema may include the token arrays, and the projected rows
+    equal the full feed projected after the fact."""
+    import contextlib
+    import io
+
+    events = gen_events_pandas(0, 2000, seed=71, n_docs=120, dirty_frac=0.1)
+    ev1, ev2 = events.iloc[::2], events.iloc[1::2]
+    v1 = lake.merge(prepare_batch(_spark_events(spark, ev1)), 0)["version"]
+    lake.merge(prepare_batch(_spark_events(spark, ev2)), 1)
+    feed = lake.read_changes(
+        v1, include_preimage=True, columns=["source", "n_tok"]
+    )
+    assert set(feed.columns) == {"doc_id", "source", "n_tok", "_change_type"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        feed.explain("formatted")
+    reads = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert reads and all("tokens" not in l for l in reads), reads
+    full = lake.read_changes(v1, include_preimage=True).toPandas()
+    exp = [
+        dict(r)
+        for _, r in full[["doc_id", "source", "n_tok", "_change_type"]].iterrows()
+    ]
+    assert_rows_equal(feed.toPandas(), exp)
+    with pytest.raises(ValueError, match="unknown"):
+        lake.read_changes(v1, columns=["nope"])
