@@ -341,15 +341,18 @@ class HashLakeTable:
         a full-table-weight refresh when uniform batches touch every
         bucket.
 
-        Scale shape: cost ∝ changes in range, never table size.
-        (1) File pruning: only files whose writing commit is
-        > ``from_version`` can hold range rows (delta dirs are
-        per-commit; compaction outputs preserve each row's original
-        ``_commit``), with the row-level ``_commit`` range filter on
-        top for compacted files that mix old rows in.
-        (2) The from-state comparison scans ONLY the touched keys'
-        buckets.  Requires both manifests retained (same retention
-        contract as :meth:`vacuum` / time travel).
+        Scale shape.  (1) Range side ∝ changes: only files whose
+        writing commit is > ``from_version`` can hold range rows
+        (delta dirs are per-commit; compaction outputs preserve each
+        row's original ``_commit``), with the row-level ``_commit``
+        range filter on top for compacted files that mix old rows in.
+        (2) From-state side ∝ touched buckets' row count over the
+        NARROW requested columns only — point-update workloads prune
+        to few buckets; uniform batches touch all of them, but the
+        scan stays metadata-weight because the heavy payload columns
+        are never read (measured in BENCH.md).  Requires both
+        manifests retained (same retention contract as :meth:`vacuum`
+        / time travel).
         """
         from investigraph_etl_spark.operators.lww import lww_dedup
 
