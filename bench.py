@@ -478,13 +478,17 @@ def write_bench_md(result: dict) -> None:
         "count, Σn_tok) refreshed after EVERY commit: preimage change",
         "feed from the view's version pointer to the lake head, signed",
         "fold, atomic pointer swap (operators/incremental.py).  The",
-        "feed is projected to exactly the view's columns, so the",
-        "range side reads only the commit's delta files and the",
-        "preimage side reads only the touched buckets' REQUESTED",
-        "columns (never the token arrays) — measured: unprojected",
-        "refreshes grew 2.2→7.7s across 16 uniform-key commits as the",
-        "from-state payload scan tracked table size; projected",
-        "refreshes hold flat at the fixed per-job floor:",
+        "feed is projected to exactly the view's columns and the",
+        "range side is commit-addressed (each commit's own delta dir",
+        "via the manifest lineage, never compaction outputs), so a",
+        "refresh reads the commit's deltas plus the touched buckets'",
+        "REQUESTED columns only — never the token arrays.  Measured",
+        "on the way here: unprojected refreshes grew 2.2→7.7s across",
+        "16 uniform-key commits (from-state payload scan tracked",
+        "table size) and spiked 2-3× after every async fold (the",
+        "_commit row filter scanned compacted bases); with both fixes",
+        "the series is a gentle sub-second creep from the narrow",
+        "from-state row count on top of the fixed per-job floor:",
         "",
         f"- ingest+maintenance total: {dm['seconds']}s (reps: {dm['times']})"
         f" vs {inc['seconds']}s ingest alone",

@@ -299,6 +299,45 @@ class HashLakeTable:
             raise ValueError(f"not a lake data file path: {path}")
         return int(m[-1])
 
+    def _range_delta_files(
+        self, man_to: dict, from_version: int, to_version: int
+    ) -> list[str] | None:
+        """Commit-addressed range file list: each merge commit in
+        ``(from, to]`` contributed exactly the files in its own delta
+        dir (``c%06d``, named by the manifest lineage), so scanning
+        those dirs yields the range rows WITHOUT touching compaction
+        outputs — whose row-level ``_commit`` filter would otherwise
+        degrade to a narrow full-table scan (compaction writes rows
+        unsorted, so parquet row-group stats cannot skip on
+        ``_commit``; measured as 2-3× refresh spikes after every fold,
+        BENCH.md).  Vacuum's contiguous last-K retention means the
+        feed's existing contract (the FROM manifest is retained)
+        already keeps every range commit's delta files alive: each is
+        referenced by its own, newer, also-retained manifest.
+
+        Returns ``None`` — caller falls back to the manifest file set
+        + ``_commit`` row filter — when the lineage window (last 200
+        commits) doesn't reach back to ``from_version``, or when a
+        dir's files don't match its recorded touched buckets
+        (defensive: unexpected vacuum)."""
+        lin = man_to.get("lineage", [])
+        if not lin or min(e["version"] for e in lin) > from_version + 1:
+            return None
+        files: list[str] = []
+        for e in lin:
+            v = e["version"]
+            if not (from_version < v <= to_version):
+                continue
+            d = self.root / "data" / f"c{v:06d}"
+            got = sorted(str(p) for p in d.glob("_bucket=*/*.parquet"))
+            seen = {
+                int(p.split("_bucket=", 1)[1].split("/", 1)[0]) for p in got
+            }
+            if seen != set(e.get("touched_buckets", [])):
+                return None
+            files += got
+        return files
+
     def read_changes(
         self,
         from_version: int,
@@ -379,11 +418,13 @@ class HashLakeTable:
         )
         if from_version == to_version:
             return empty
-        files = [
-            f
-            for f in self._bucket_files(None, man_to)
-            if self._file_commit_version(f) > from_version
-        ]
+        files = self._range_delta_files(man_to, from_version, to_version)
+        if files is None:
+            files = [
+                f
+                for f in self._bucket_files(None, man_to)
+                if self._file_commit_version(f) > from_version
+            ]
         if not files:
             return empty
         # explicit early projection: everything downstream (LWW, join,

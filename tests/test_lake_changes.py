@@ -165,6 +165,45 @@ def test_changes_across_compaction(spark, lake):
     assert_pdf_equal(got, oracle_changes(ev_from, events))
 
 
+def test_changes_range_scan_avoids_compaction_outputs(spark, lake):
+    """After folds, the range side must come from the commit-addressed
+    delta dirs (manifest lineage), never the compacted bases — the
+    compacted _commit row-filter scan was a measured 2-3× refresh
+    spike.  Also: truncating the lineage window forces the manifest
+    fallback, which must stay value-identical."""
+    import json
+    import pathlib
+
+    events = gen_events_pandas(0, 3000, seed=72, n_docs=150)
+    chunks = [events.iloc[i::5] for i in range(5)]
+    versions = [
+        lake.merge(
+            prepare_batch(_spark_events(spark, c)), b,
+            reduce_batch=False, compact_mode="async", auto_compact_deltas=2,
+        )["version"]
+        for b, c in enumerate(chunks)
+    ]
+    lake.wait_for_compaction()
+    lake.compact()
+    vf = versions[2]
+    feed = lake.read_changes(vf)
+    expected = oracle_changes(pd.concat(chunks[:3]), events)
+    assert_pdf_equal(feed.toPandas(), expected)
+    # no compaction output (c%06dx / c%06da) in the scan
+    assert all(
+        "x/_bucket=" not in f and "a/_bucket=" not in f
+        for f in feed.inputFiles()
+    ), [f for f in feed.inputFiles() if "x/_bucket" in f or "a/_bucket" in f]
+    # lineage window too short → manifest-file fallback, same values
+    mp = pathlib.Path(lake.root) / "manifests" / f"v{lake.version:06d}.json"
+    doc = json.loads(mp.read_text())
+    doc["lineage"] = doc["lineage"][-1:]
+    mp.write_text(json.dumps(doc))
+    fb = lake.read_changes(vf)
+    assert_pdf_equal(fb.toPandas(), expected)
+    assert any("x/_bucket=" in f or "a/_bucket=" in f for f in fb.inputFiles())
+
+
 def test_changes_empty_range_and_errors(spark, lake):
     events = gen_events_pandas(0, 500, seed=34, n_docs=50)
     v1 = lake.merge(prepare_batch(_spark_events(spark, events)), 0)["version"]
