@@ -487,8 +487,8 @@ def write_bench_md(result: dict) -> None:
         "16 uniform-key commits (from-state payload scan tracked",
         "table size) and spiked 2-3× after every async fold (the",
         "_commit row filter scanned compacted bases); with both fixes",
-        "the series is a gentle sub-second creep from the narrow",
-        "from-state row count on top of the fixed per-job floor:",
+        "the series is flat within host noise — per-job floor plus",
+        "the narrow from-state row count, no trend and no spikes:",
         "",
         f"- ingest+maintenance total: {dm['seconds']}s (reps: {dm['times']})"
         f" vs {inc['seconds']}s ingest alone",
