@@ -233,6 +233,27 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per source: EXACT interpolated
+    percentiles (SQL `percentile`, not approx_percentile — the oracle
+    is DuckDB quantile_cont, same R-7 linear interpolation).  One
+    hash-partial agg; at 100 TB swap in approx_percentile(ε) — the
+    query shape is identical, exactness is what the gate checks."""
+    d = _t(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), p.alias("p"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.element_at("p", 1), 4).alias("p50"),
+            F.round(F.element_at("p", 2), 4).alias("p90"),
+            F.round(F.element_at("p", 3), 4).alias("p99"),
+        )
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition filters: distinct-word ratio,
     top-word / top-bigram fractions + keep flag (one gram explode, two
@@ -847,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "repetition_signals": q_repetition_signals,
+        "corpus_percentiles": q_corpus_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1040,6 +1062,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "corpus_percentiles": """
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY source
         """,
         "repetition_signals": """
             WITH ws AS (
