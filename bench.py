@@ -71,6 +71,7 @@ HEADLINE = [
     "range_join",
     "decontaminate",
     "repetition_signals",
+    "corpus_percentiles",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
