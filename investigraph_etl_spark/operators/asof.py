@@ -68,19 +68,27 @@ def asof_join(
     # flip the order for strict "<" semantics
     l_side, r_side = (1, 0) if inclusive else (0, 1)
 
+    # The right payload is carried as ONE struct (non-null per right
+    # row) so a single last(ignorenulls=True) picks the whole latest
+    # right ROW atomically.  Carrying each column separately would
+    # back-fill a null field of the latest right row from an OLDER
+    # right row — fabricating a row that never existed (diverges from
+    # DuckDB ASOF semantics when right payloads contain nulls).
     l_tagged = left.select(
         *by_cols,
         F.col(on).alias("_ts"),
         F.lit(l_side).alias("_side"),
         F.struct(*left_payload).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(carried[c]) for c in right_cols],
+        F.lit(None)
+        .cast(right.select(F.struct(*right_cols).alias("_r")).schema["_r"].dataType)
+        .alias("_r"),
     )
     r_tagged = right.select(
         *by_cols,
         F.col(on).alias("_ts"),
         F.lit(r_side).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(carried[c]) for c in right_cols],
+        F.struct(*right_cols).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -89,15 +97,14 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_exprs = [
-        F.last(F.col(carried[c]), ignorenulls=True).over(w).alias(carried[c])
-        for c in right_cols
-    ]
-    out = unioned.select(*by_cols, "_ts", "_side", "_l", *carried_exprs).filter(
-        F.col("_side") == l_side
-    )
+    out = unioned.select(
+        *by_cols,
+        "_side",
+        "_l",
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
+    ).filter(F.col("_side") == l_side)
     return out.select(
         *by_cols,
         *[F.col(f"_l.{c}").alias(c) for c in left_payload],
-        *[F.col(carried[c]) for c in right_cols],
+        *[F.col(f"_r.{c}").alias(carried[c]) for c in right_cols],
     )
