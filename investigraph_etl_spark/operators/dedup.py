@@ -237,8 +237,16 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        import re as _re
+
         import numpy as np
         from hashlib import blake2b
+
+        # Tokenize with the SAME rule as textstats.words(): Java \s+ is
+        # ASCII whitespace only.  Python str.split() would also split on
+        # Unicode whitespace (NBSP etc.), fingerprinting such texts
+        # inconsistently with the shingle/textstats operators.
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
         memo: dict[str, int] = {}
 
@@ -253,7 +261,11 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
 
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            ws = t.lower().split() if isinstance(t, str) else []
+            ws = (
+                [w for w in _ws.split(t.lower()) if w]
+                if isinstance(t, str)
+                else []
+            )
             if not ws:
                 continue
             h = np.fromiter(
