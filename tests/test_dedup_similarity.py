@@ -104,6 +104,22 @@ def test_simhash_properties(spark, docs):
     assert ham01 < ham03  # near-dup closer than unrelated
 
 
+def test_simhash_tokenizes_like_words(spark):
+    """The UDF must tokenize with textstats.words()'s rule (ASCII
+    whitespace only): NBSP does NOT split, so "A\\u00a0b" is ONE token
+    whose fingerprint equals its raw token-hash bits."""
+    from hashlib import blake2b
+
+    df = spark.createDataFrame([(1, "A b")], "doc_id int, text string")
+    fp = simhash(df).collect()[0]["simhash"]
+    exp = int.from_bytes(
+        blake2b("a b".encode("utf-8"), digest_size=8).digest(),
+        "little",
+        signed=True,
+    )
+    assert fp == exp
+
+
 def test_simhash_near_dup_pairs(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -342,6 +358,22 @@ def test_asof_join_semantics(spark):
     }
     # strict: left ts=10 must NOT see right ts=10
     assert strict == {(1, 10): None, (1, 20): 150, (1, 5): None, (2, 10): None}
+
+
+def test_asof_join_null_right_payload_not_backfilled(spark):
+    """The latest right row must be carried ATOMICALLY: a null field in
+    it stays null, never back-filled from an older right row (ADVICE r2
+    repro: {ts=10,px=100,qty=5},{ts=20,px=200,qty=null} → px=200 must
+    pair with qty=null, not qty=5)."""
+    from investigraph_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 25)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, 100, 5), (1, 20, 200, None)],
+        "k int, ts int, px int, qty int",
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert out["px"] == 200 and out["qty"] is None
 
 
 def test_asof_join_column_collision_suffix(spark):
