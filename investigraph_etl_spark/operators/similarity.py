@@ -541,5 +541,12 @@ def lsh_near_dup_pairs(
                 )
             )
 
-    survivors = buckets.mapInPandas(verify, out_schema).distinct()
-    return survivors.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    # Dedup on (id_a, id_b) ALONE, not on the raw double: the same pair
+    # scored in two buckets goes through matmuls of different shapes, so
+    # BLAS summation order can flip the last bit and distinct() would
+    # keep both rows.  max() picks a deterministic representative.
+    return (
+        buckets.mapInPandas(verify, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 4).alias("cosine"))
+    )
