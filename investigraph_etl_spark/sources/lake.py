@@ -38,8 +38,11 @@ batch) was the top 100 TB killer flagged in VERDICT.md):
   compaction cost is amortized 1/``auto_compact_deltas`` per commit;
 * the LWW reduce is a hash aggregate with map-side combine — no sort,
   no row_number;
-* manifests are O(num_buckets × deltas-per-bucket) JSON — bounded by
-  auto-compaction.
+* metadata is split Iceberg-style (round 3): an O(num_buckets)
+  manifest LIST per version points at immutable per-bucket manifest
+  files; a commit rewrites only touched buckets' manifests, so
+  per-commit metadata bytes ∝ touched buckets — never total file
+  count (round-2's flat JSON was the 10^10-event metadata bottleneck).
 
 Single-writer assumption: one committer at a time (Structured
 Streaming's ``foreachBatch`` is sequential per query).  Matches the
@@ -88,6 +91,10 @@ class HashLakeTable:
         self.spark = spark
         self.root = pathlib.Path(root)
         self._manifest = self._load_manifest()
+        # last PERSISTED manifest — _commit_manifest diffs against it so
+        # only buckets whose file lists changed get new bucket-manifest
+        # files (the Iceberg manifest-reuse analog)
+        self._persisted = self._manifest
         # async-compaction state (see merge(compact_mode="async")):
         # _compact_future is None or (future, consumed, out_dir) where
         # consumed maps bucket -> number of delta sets the running job
@@ -130,17 +137,83 @@ class HashLakeTable:
         return cls(spark, root)
 
     @staticmethod
-    def _write_manifest(rootp: pathlib.Path, manifest: dict) -> None:
+    def _write_manifest(
+        rootp: pathlib.Path, manifest: dict, prev: dict | None = None
+    ) -> dict:
+        """Persist ``manifest`` as a manifest LIST + per-bucket manifest
+        files (the Iceberg manifest-list / manifest split).
+
+        Round-2 VERDICT flagged the flat layout as the 10^10-event
+        metadata bottleneck: one JSON embedding EVERY bucket's file
+        list was driver-serialized per commit, so commit cost grew with
+        total file count.  Now each bucket's ``{"base": […], "deltas":
+        [[…], …]}`` lives in an immutable ``bm-v<ver>-b<bucket>.json``;
+        a commit rewrites only the TOUCHED buckets' manifests (diffed
+        against ``prev``, the last persisted state) plus an
+        O(num_buckets)-pointer list — per-commit metadata bytes ∝
+        touched buckets, never the table.  Returns the manifest with
+        its ``bucket_refs`` updated.
+        """
         v = manifest["version"]
-        mpath = rootp / "manifests" / f"v{v:06d}.json"
+        mdir = rootp / "manifests"
+        prev = prev or {}
+        prev_refs = prev.get("bucket_refs", {})
+        prev_bases = prev.get("buckets", {})
+        prev_deltas = prev.get("deltas", {})
+        bases = manifest.get("buckets", {})
+        deltas = manifest.get("deltas", {})
+        refs: dict[str, str] = {}
+        for b in sorted(set(bases) | set(deltas), key=int):
+            base, dsets = bases.get(b, []), deltas.get(b, [])
+            if (
+                b in prev_refs
+                and prev_bases.get(b, []) == base
+                and prev_deltas.get(b, []) == dsets
+            ):
+                refs[b] = prev_refs[b]  # unchanged → reuse, no rewrite
+            else:
+                refs[b] = f"bm-v{v:06d}-b{b}.json"
+                (mdir / refs[b]).write_text(
+                    json.dumps({"base": base, "deltas": dsets})
+                )
+        listing = {
+            k: val for k, val in manifest.items() if k not in ("buckets", "deltas")
+        }
+        listing["bucket_refs"] = refs
+        (mdir / f"v{v:06d}.json").write_text(json.dumps(listing))
         tmp = rootp / f"_latest.tmp.{uuid.uuid4().hex}"
-        mpath.write_text(json.dumps(manifest))
         tmp.write_text(str(v))
         os.replace(tmp, rootp / "_latest")  # atomic pointer swap
+        return {**manifest, "bucket_refs": refs}
+
+    def _commit_manifest(self) -> None:
+        """Persist ``self._manifest`` diffed against the last persisted
+        state (only changed buckets' manifest files are rewritten)."""
+        self._manifest = self._write_manifest(
+            self.root, self._manifest, self._persisted
+        )
+        self._persisted = self._manifest
+
+    @staticmethod
+    def _materialize(mdir: pathlib.Path, doc: dict) -> dict:
+        """Resolve a manifest list's ``bucket_refs`` into the in-memory
+        ``buckets``/``deltas`` maps (legacy inline docs pass through)."""
+        if "bucket_refs" not in doc:
+            return doc
+        buckets: dict[str, list] = {}
+        deltas: dict[str, list] = {}
+        for b, ref in doc["bucket_refs"].items():
+            bm = json.loads((mdir / ref).read_text())
+            if bm["base"]:
+                buckets[b] = bm["base"]
+            if bm["deltas"]:
+                deltas[b] = bm["deltas"]
+        return {**doc, "buckets": buckets, "deltas": deltas}
 
     def _load_manifest(self) -> dict:
         v = int((self.root / "_latest").read_text())
-        return json.loads((self.root / "manifests" / f"v{v:06d}.json").read_text())
+        mdir = self.root / "manifests"
+        return self._materialize(mdir, json.loads((mdir / f"v{v:06d}.json").read_text()))
 
     # ------------------------------------------------------ properties
     @property
@@ -179,7 +252,7 @@ class HashLakeTable:
                 f"version {version} not available (expired by vacuum or "
                 f"never committed); latest is {self.version}"
             )
-        return json.loads(p.read_text())
+        return self._materialize(self.root / "manifests", json.loads(p.read_text()))
 
     # ------------------------------------------------------------ read
     def _bucket_files(
@@ -294,7 +367,10 @@ class HashLakeTable:
         after v — the file-level pruning :meth:`read_changes` uses."""
         import re
 
-        m = re.findall(r"c(\d{6})[xa]?(?=/|$)", path)
+        # \d{6,} — versions are zero-padded to six digits but NOT capped
+        # at six: past commit 999,999 f"c{v:06d}" emits 7+ digits and a
+        # fixed-width match would miss it (change feed would hard-break).
+        m = re.findall(r"c(\d{6,})[xa]?(?=/|$)", path)
         if not m:
             raise ValueError(f"not a lake data file path: {path}")
         return int(m[-1])
@@ -454,7 +530,7 @@ class HashLakeTable:
         # compact and void the pruning).
         import re
 
-        delta_pat = re.compile(r"c\d{6}(x|a)?/_bucket=(\d+)/")
+        delta_pat = re.compile(r"c\d{6,}(x|a)?/_bucket=(\d+)/")
         marks = [delta_pat.search(f) for f in files]
         if all(m is not None and m.group(1) is None for m in marks):
             touched = sorted({int(m.group(2)) for m in marks})
@@ -557,7 +633,7 @@ class HashLakeTable:
             "version": self.version + 1,
             "schema": json.loads(schema.json()),
         }
-        self._write_manifest(self.root, self._manifest)
+        self._commit_manifest()
 
     # ----------------------------------------------------------- merge
     def merge(
@@ -744,7 +820,7 @@ class HashLakeTable:
             compacted = self._schedule_compaction(full[:per_commit], out_version)
         _t_compact = _time.monotonic()
 
-        self._write_manifest(self.root, self._manifest)
+        self._commit_manifest()
         return {
             "skipped": False,
             "version": out_version,
@@ -889,7 +965,7 @@ class HashLakeTable:
         n = self._harvest_compaction(block=True)
         if n:
             self._manifest = {**self._manifest, "version": self.version + 1}
-            self._write_manifest(self.root, self._manifest)
+            self._commit_manifest()
         return n
 
     def compact(self, buckets: list[int] | None = None) -> dict:
@@ -909,7 +985,7 @@ class HashLakeTable:
         version = self.version + 1
         self._manifest = {**self._manifest, "version": version}
         n = self._compact_into_manifest(targets, version)
-        self._write_manifest(self.root, self._manifest)
+        self._commit_manifest()
         return {"compacted_buckets": n, "version": version}
 
 
@@ -933,12 +1009,16 @@ class HashLakeTable:
         # manifest and would be deleted as an orphan — land it AND
         # persist it (vacuum reads manifests from disk) first
         self.wait_for_compaction()
-        manifests = sorted((self.root / "manifests").glob("v*.json"))
+        mdir = self.root / "manifests"
+        manifests = sorted(mdir.glob("v*.json"))
         expired = manifests[:-keep_manifests] if keep_manifests > 0 else []
         retained = [m for m in manifests if m not in set(expired)]
         referenced: set[str] = set()
+        live_refs: set[str] = set()  # bucket-manifest files still needed
         for m in retained:
             doc = json.loads(m.read_text())
+            live_refs.update(doc.get("bucket_refs", {}).values())
+            doc = self._materialize(mdir, doc)
             for files in doc.get("buckets", {}).values():
                 referenced.update(str(pathlib.Path(f).resolve()) for f in files)
             for dsets in doc.get("deltas", {}).values():
@@ -957,7 +1037,17 @@ class HashLakeTable:
                     pass
         for m in expired:
             m.unlink()
-        return {"removed_files": removed, "expired_manifests": len(expired)}
+        # expire bucket manifests referenced by no retained manifest list
+        expired_bm = 0
+        for bm in mdir.glob("bm-*.json"):
+            if bm.name not in live_refs:
+                bm.unlink()
+                expired_bm += 1
+        return {
+            "removed_files": removed,
+            "expired_manifests": len(expired),
+            "expired_bucket_manifests": expired_bm,
+        }
 
 
 class IcebergLakeTable:

@@ -543,6 +543,9 @@ def test_file_commit_version_parsing():
     assert f("/x/data/c000007x/_bucket=0/part-0.parquet") == 7
     assert f("/x/data/c000009a/_bucket=1/p.parquet") == 9
     assert f("/tmp/c123456_w/data/c000002/_bucket=1/p.parquet") == 2
+    # versions past 999,999 widen beyond the 6-digit zero padding
+    assert f(f"/x/data/c{1000001:06d}/_bucket=0/p.parquet") == 1000001
+    assert f(f"/x/data/c{1000001:06d}x/_bucket=0/p.parquet") == 1000001
     with pytest.raises(ValueError):
         f("/x/data/nope/part-0.parquet")
 
