@@ -1087,11 +1087,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, kind, gram, COUNT(*) AS n
               FROM g GROUP BY doc_id, kind, gram
             ), d AS (
+              -- CAST: DuckDB SUM(BIGINT) is HUGEINT -> pandas float64, but
+              -- Spark emits int64; the driver's value-hash is dtype-sensitive
+              -- (same class as the r1 sessionize bug, r2 repetition bug).
               SELECT doc_id,
-                     SUM(CASE WHEN kind = 'w' THEN n END) AS n_words,
+                     CAST(SUM(CASE WHEN kind = 'w' THEN n END) AS BIGINT) AS n_words,
                      COUNT(CASE WHEN kind = 'w' THEN 1 END) AS n_distinct,
                      MAX(CASE WHEN kind = 'w' THEN n END) AS top_word,
-                     SUM(CASE WHEN kind = 'b' THEN n END) AS n_bigrams,
+                     CAST(SUM(CASE WHEN kind = 'b' THEN n END) AS BIGINT) AS n_bigrams,
                      MAX(CASE WHEN kind = 'b' THEN n END) AS top_bigram
               FROM c GROUP BY doc_id
             )

@@ -44,6 +44,53 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def dtype_kind(series: pd.Series) -> str:
+    """Collapse a column to the kind class the driver's value-hash is
+    sensitive to: int vs float vs bool vs str vs other.  This exists
+    because ``norm_cell`` collapses 32.0 -> "32", which hid the DuckDB
+    HUGEINT->float64 vs Spark int64 mismatch that made the r1 sessionize
+    and r2 repetition_signals gate rows red.  An object column falls back
+    to the Python type of its first non-null value."""
+    import numpy as np
+
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("U", "S"):
+        return "str"
+    if k == "O":
+        for v in series:
+            if v is None or v is pd.NA or (isinstance(v, float) and v != v):
+                continue
+            if isinstance(v, (bool, np.bool_)):
+                return "bool"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            if isinstance(v, str):
+                return "str"
+            return "other"
+        return "empty"
+    return "other"
+
+
+def dtype_mismatches(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    bad = []
+    for c in sorted(got.columns):
+        kg, ke = dtype_kind(got[c]), dtype_kind(exp[c])
+        if "empty" in (kg, ke) or kg == ke:
+            continue
+        # int-typed values inside a float column is exactly the driver-red
+        # class; any kind flip is suspicious enough to fail locally.
+        bad.append(f"{c}: spark={kg} oracle={ke}")
+    return bad
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from investigraph_etl_spark.session import get_spark
@@ -89,6 +136,11 @@ def main() -> int:
         if len(got) != len(exp):
             failures.append(name)
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            continue
+        dbad = dtype_mismatches(got, exp)
+        if dbad:
+            failures.append(name)
+            print(f"FAIL {name}: dtype-kind mismatch {'; '.join(dbad)}")
             continue
         cg, ce = canon(got), canon(exp)
         if cg != ce:
