@@ -4,9 +4,10 @@
 ``queries()`` — one callable per implemented operator (SURVEY.md §2).
 ``oracle_sql()`` — DuckDB-equivalent SQL per query (sorted-column
 value-hash comparison ⇒ every computed column is aliased identically
-on both sides).  Queries with no SQL-expressible oracle (LSH families,
-the lake-engine replay) are intentionally absent from ``oracle_sql``
-→ the driver records a rows-only check.
+on both sides).  Queries with no SQL-expressible oracle (the
+approximate LSH families, whose recall/precision contracts live in
+pytest) are intentionally absent from ``oracle_sql`` → the driver
+records a rows-only check.
 """
 
 from __future__ import annotations
@@ -704,33 +705,73 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real engine end-to-end: synthesize a deterministic changelog,
-    stream it through normalize→LWW→lake MERGE, return the final table.
-    No SQL oracle (the changelog isn't a registered view); pytest
-    covers full token-array equivalence vs the pandas oracle
-    (tests/test_lake_merge.py).  The ``tokens`` array column is
-    projected to a stable hash here because the driver's rows-only
-    canonicalization sorts the pandas frame over all columns and list
-    cells are unhashable (round-1 gate ERROR)."""
+    """The real engine end-to-end, VALUE-checked (round-3, VERDICT r2
+    item 3): derive a deterministic changelog from the registered
+    ``documents`` view — every doc inserts (seq 3d+1, tokens = char
+    codes of the first 48 chars, exactly how ``pack_sequences`` derives
+    tokens), docs with ``doc_id%5<2`` get a later update (seq 3d+2,
+    uppercased 32-char prefix, source 'editor'), docs with ``doc_id%7=0``
+    end deleted (seq 3d+3) — replay it through normalize→LWW→lake MERGE
+    as TWO commits, and read back the final state.  Because the ops are
+    plain SQL over ``documents``, DuckDB can oracle the LWW survivor set
+    (arg_max by seq, drop deletes) including the token VALUES via two
+    order-sensitive checksums — the flagship path is hash-green, not
+    rows-only.  Full token-array equivalence also in pytest
+    (tests/test_lake_merge.py).  Reference analog: the golden-output
+    pipeline test (/root/reference/tests/test_pipeline.py:6-16)."""
     import tempfile
 
-    from investigraph_etl_spark.changelog import write_changelog
     from investigraph_etl_spark.sources.lake import HashLakeTable
-    from investigraph_etl_spark.streaming.tailer import (
-        change_schema,
-        replay_batch,
-        target_schema,
-    )
+    from investigraph_etl_spark.streaming.tailer import replay_batch, target_schema
 
+    d = _t(spark, sf_dir, "documents")
+
+    def toks(col):
+        return F.transform(F.split(col, ""), lambda c: F.ascii(c))
+
+    def part(seq, op, tokens, source):
+        return [
+            seq.cast("long").alias("event_sequence"),
+            F.lit(op).alias("op"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            tokens.cast("array<int>").alias("tokens"),
+            source.cast("string").alias("source"),
+        ]
+
+    did = F.col("doc_id")
+    changes = (
+        d.select(*part(did * 3 + 1, "upsert", toks(F.substring("text", 1, 48)), F.col("source")))
+        .unionByName(
+            d.filter(did % 5 < 2).select(
+                *part(did * 3 + 2, "upsert", toks(F.upper(F.substring("text", 1, 32))), F.lit("editor"))
+            )
+        )
+        .unionByName(
+            d.filter(did % 7 == 0).select(
+                *part(did * 3 + 3, "delete", F.lit(None), F.lit(None))
+            )
+        )
+    )
+    split = changes.agg(F.max("event_sequence")).first()[0] // 2
     tmp = tempfile.mkdtemp(prefix="cdc_entry_")
-    write_changelog(f"{tmp}/log", 5000, chunk_size=2500, seed=42, n_docs=400)
     lake = HashLakeTable.create(spark, f"{tmp}/lake", target_schema(), num_buckets=8)
-    events = spark.read.schema(change_schema()).parquet(f"{tmp}/log")
-    replay_batch(events, lake)
-    return lake.read().select(
-        "doc_id",
-        F.xxhash64(F.to_json("tokens")).alias("tokens_hash"),
-        "n_tok",
+    replay_batch(changes.filter(F.col("event_sequence") <= split), lake, batch_id=0)
+    replay_batch(changes.filter(F.col("event_sequence") > split), lake, batch_id=1)
+
+    t = lake.read()
+    wsum = F.aggregate(
+        F.transform("tokens", lambda x, i: x.cast("long") * (i.cast("long") + 1)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    tsum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        wsum.alias("tokens_wsum"),
+        tsum.alias("tokens_sum"),
+        F.col("n_tok").cast("long").alias("n_tok"),
         "source",
     )
 
@@ -939,6 +980,44 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS last_event_type, value AS last_value
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events) WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_replay_lake": """
+            -- LWW final state of the changelog q_cdc_replay_lake derives
+            -- from documents (insert / conditional update / conditional
+            -- delete).  Token VALUES are checked by two checksums: a
+            -- position-weighted sum (order-sensitive) and a plain sum.
+            -- Index lambdas are 1-based in DuckDB = Spark's (i+1).
+            -- Integer SUMs cast to BIGINT (HUGEINT->float64 trap).
+            WITH ch AS (
+              SELECT doc_id*3 + 1 AS seq, 'upsert' AS op, doc_id,
+                     list_transform(string_split(substring(text, 1, 48), ''),
+                                    c -> ord(c)) AS tokens,
+                     source
+              FROM documents
+              UNION ALL
+              SELECT doc_id*3 + 2, 'upsert', doc_id,
+                     list_transform(string_split(upper(substring(text, 1, 32)), ''),
+                                    c -> ord(c)),
+                     'editor'
+              FROM documents WHERE doc_id % 5 < 2
+              UNION ALL
+              SELECT doc_id*3 + 3, 'delete', doc_id, NULL, NULL
+              FROM documents WHERE doc_id % 7 = 0
+            ), last AS (
+              SELECT doc_id,
+                     arg_max(op, seq) AS op,
+                     arg_max(tokens, seq) AS tokens,
+                     arg_max(source, seq) AS src
+              FROM ch GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(list_sum(list_transform(tokens, (x, i) -> CAST(x AS BIGINT) * i))
+                        AS BIGINT) AS tokens_wsum,
+                   CAST(list_sum(list_transform(tokens, x -> CAST(x AS BIGINT)))
+                        AS BIGINT) AS tokens_sum,
+                   CAST(len(tokens) AS BIGINT) AS n_tok,
+                   nullif(lower(regexp_replace(src, '^\\s+|\\s+$', '', 'g')), '') AS source
+            FROM last WHERE op <> 'delete'
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
