@@ -142,51 +142,46 @@ def lsh_bucket_ids(
     return fan_out(df.select(id_col, vec_col)).mapInPandas(bucketize, schema)
 
 
-def _cosine_expr(a, b):
-    """Exact cosine between two array<float> columns, JVM-side
-    (fold + zip_with — no Python crossing for the verify step)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return (dot / (norm(a) * norm(b))).cast("double")
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect + L2-normalize the (bounded, by contract) query set.
+    Same boundedness contract as :func:`brute_force_knn`: a KNN query
+    batch is small; the corpus is what scales."""
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if len(rows):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
 
 
-def _score_topk(
-    cand: DataFrame,
-    embeddings: DataFrame,
-    *,
-    k: int,
-    id_col: str,
-    vec_col: str,
-    round_dp: int = 6,
-) -> DataFrame:
-    """Shared tail of every ANN variant: exact-score candidate
-    (query_id, neighbor_id) pairs, rank, keep top-k.  Deterministic
-    tie-break by neighbor_id asc (the reference's sort-before-hash
-    determinism discipline, tests/fixtures/ec_meetings/transform.py:98)."""
-    pairs = (
-        cand.join(
-            embeddings.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-            ),
-            "query_id",
-        )
-        .join(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
-            ),
-            "neighbor_id",
-        )
+def _local_topk_frame(q_ids, nb_ids, qix, cos, k: int) -> pd.DataFrame:
+    """Per-batch top-k per query from flat candidate arrays, with the
+    global tie-break (cosine desc, neighbor_id asc) so local pruning
+    can never drop a pair the global ranking would keep."""
+    order = np.lexsort((nb_ids, -cos, qix))
+    qs = qix[order]
+    first = np.r_[0, np.flatnonzero(np.diff(qs)) + 1]
+    counts = np.diff(np.r_[first, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(first, counts)
+    keep = order[rank < k]
+    return pd.DataFrame(
+        {
+            "query_id": q_ids[qix[keep]],
+            "neighbor_id": nb_ids[keep],
+            "cosine": cos[keep],
+        }
     )
-    scored = pairs.withColumn("cosine", _cosine_expr(F.col("_qv"), F.col("_nv")))
+
+
+def _global_topk(local: DataFrame, k: int, round_dp: int = 6) -> DataFrame:
+    """Global rank over per-partition survivors — the same tail as
+    :func:`brute_force_knn` (each data row lives in exactly one batch,
+    so a (query, neighbor) pair reaches this at most once)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -211,20 +206,77 @@ def lsh_knn(
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     scored exactly, ranked like brute force.  Smaller n_bits / more
-    tables ⇒ higher recall, more candidates."""
-    kw = dict(dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
-              id_col=id_col, vec_col=vec_col)
-    data_b = lsh_bucket_ids(embeddings, **kw)
-    query_b = lsh_bucket_ids(queries, **kw).withColumnsRenamed(
-        {"id": "query_id"}
+    tables ⇒ higher recall, more candidates.
+
+    Round-3 plan (VERDICT r2 item 5): the query set's bucket codes and
+    normalized vectors are BROADCAST (bounded by the same contract as
+    :func:`brute_force_knn`); one ``mapInPandas`` scan over the corpus
+    computes each data row's codes, finds query collisions per table
+    via ``searchsorted`` against the sorted broadcast codes, exact-
+    scores only the colliding pairs with one gathered einsum, and emits
+    per-batch top-k.  Corpus vectors never cross a shuffle, candidates
+    never cross a shuffle, and nothing touches an interpreted
+    higher-order-function cosine (the old form joined embeddings back
+    twice and scored every candidate with ``aggregate(zip_with(...))``
+    lambdas).  The only shuffle is O(partitions × queries × k) survivor
+    rows into the global rank."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    q_codes = np.einsum(
+        "tbn,b->tn",
+        (np.einsum("tbd,nd->tbn", planes, q_mat) > 0).astype(np.int64),
+        weights,
+    )  # (T, nq)
+    # per-table sorted code array + the query-slot order behind it
+    tables = []
+    for t in range(n_tables):
+        order = np.argsort(q_codes[t], kind="stable")
+        tables.append((q_codes[t][order], order))
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, planes, weights, tables))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, pl, w, tabs = bq.value
+        nq = len(q_ids_)
+        for pdf in batches:
+            if pdf.empty or nq == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.einsum(
+                "tbn,b->tn", (np.einsum("tbd,nd->tbn", pl, mat) > 0).astype(np.int64), w
+            )  # (T, n)
+            n = len(ids)
+            pair_keys = []
+            for t, (sorted_codes, slot_order) in enumerate(tabs):
+                lo = np.searchsorted(sorted_codes, codes[t], side="left")
+                hi = np.searchsorted(sorted_codes, codes[t], side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if not total:
+                    continue
+                dix = np.repeat(np.arange(n), cnt)
+                # ragged ranges lo[d]..hi[d], flattened without Python loops
+                offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                qix = slot_order[np.repeat(lo, cnt) + offs]
+                pair_keys.append(dix.astype(np.int64) * nq + qix)
+            if not pair_keys:
+                continue
+            keys = np.unique(np.concatenate(pair_keys))  # dedup across tables
+            dix, qix = keys // nq, keys % nq
+            self_mask = ids[dix] != q_ids_[qix]
+            dix, qix = dix[self_mask], qix[self_mask]
+            if not len(dix):
+                continue
+            cos = np.einsum("ij,ij->i", q_mat_[qix], mat[dix])
+            yield _local_topk_frame(q_ids_, ids[dix], qix, cos, k)
+
+    local = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(
+        score, _PAIR_SCHEMA
     )
-    cand = (
-        query_b.join(data_b, ["table_ix", "bucket"])
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-        .distinct()
-    )
-    return _score_topk(cand, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    return _global_topk(local, k)
 
 
 # ------------------------------------------------------------------ IVF
@@ -329,21 +381,48 @@ def ivf_knn(
     probe only the query's ``nprobe`` nearest cells, exact-score the
     survivors.  Probe cost ∝ corpus/n_centroids × nprobe.  At 100 TB
     the per-cell inverted lists live as `centroid_id`-partitioned lake
-    files, so a probe is a partition-pruned scan, not a shuffle."""
+    files, so a probe is a partition-pruned scan, not a shuffle.
+
+    Round-3 plan (VERDICT r2 item 5): queries + their probe sets are
+    broadcast; one ``mapInPandas`` corpus scan assigns each data row
+    its cell (argmax against the broadcast quantizer), keeps only rows
+    whose cell is probed by ≥1 query, exact-scores those pairs with a
+    gathered einsum, and emits per-batch top-k — no candidate shuffle,
+    no embeddings join-back, no interpreted HOF cosine."""
     cent = ivf_centroids(
         embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    data_a = ivf_assign(embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col)
-    query_a = ivf_assign(
-        queries, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-    ).withColumnsRenamed({"id": "query_id"})
-    cand = (
-        query_a.join(data_a, "centroid_id")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("neighbor_id"))
-        .distinct()
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    nq, nc = len(q_ids), len(cent)
+    p = min(nprobe, nc)
+    probes = np.argpartition(-(q_mat @ cent.T), p - 1, axis=1)[:, :p]  # (nq, p)
+    member = np.zeros((nc, nq), dtype=bool)  # cell -> which queries probe it
+    member[probes.ravel(), np.repeat(np.arange(nq), p)] = True
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, cent, member))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, q_mat_, cent_, member_ = bq.value
+        for pdf in batches:
+            if pdf.empty or not len(q_ids_):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = np.argmax(mat @ cent_.T, axis=1)  # data side: 1 cell
+            cand = member_[cells]  # (n, nq) — probed pairs only
+            dix, qix = np.nonzero(cand)
+            self_mask = ids[dix] != q_ids_[qix]
+            dix, qix = dix[self_mask], qix[self_mask]
+            if not len(dix):
+                continue
+            cos = np.einsum("ij,ij->i", q_mat_[qix], mat[dix])
+            yield _local_topk_frame(q_ids_, ids[dix], qix, cos, k)
+
+    local = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(
+        score, _PAIR_SCHEMA
     )
-    return _score_topk(cand, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    return _global_topk(local, k)
 
 
 # --------------------------------------------- embedding near-dup pairs
