@@ -128,6 +128,33 @@ def test_simhash_near_dup_pairs(spark, docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_simhash_stream_stitching_across_arrow_batches(spark, docs):
+    """The sort-merge verify stitches a bucket that spans Arrow batch
+    boundaries; at default batch size (10k rows) test corpora never
+    exercise that path, so force tiny batches and pin equality — both
+    against the default-batch run and with the cap effectively off."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    want = sorted(
+        tuple(r) for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    )
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        got = sorted(
+            tuple(r) for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+        )
+        got_nocap = sorted(
+            tuple(r)
+            for r in simhash_near_dup_pairs(
+                docs, max_hamming=8, max_block_df=10**9
+            ).collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
+    assert got_nocap == want  # auto cap is exact on this corpus
+
+
 def _np_knn(vecs: dict[int, np.ndarray], qids: list[int], k: int):
     ids = sorted(vecs)
     mat = np.stack([vecs[i] for i in ids]).astype(np.float64)
