@@ -43,9 +43,10 @@ class PropertyMapping:
     join: str | None = None
     required: bool = False
     # FtM cleans values by property *type* on entity.add (SURVEY §1.2,
-    # /root/reference/investigraph/util.py:41-43); the compiler applies
-    # the matching vectorized cleaner here
-    type: str | None = None  # None | "url"
+    # /root/reference/investigraph/util.py:41-43, asserted upstream at
+    # tests/test_util.py:23-27 — country "France" → "fr"); the compiler
+    # applies the matching vectorized cleaner here
+    type: str | None = None  # None | "url" | "country" | "date" | "datetime"
 
     def values(self) -> Column:
         """array<string> of cleaned values for this property."""
@@ -68,7 +69,15 @@ class PropertyMapping:
             vals = F.array(F.array_join(vals, self.join))
         if self.split is not None:
             vals = F.flatten(F.transform(vals, lambda v: F.split(v, re.escape(self.split))))
-        cleaner = clean_url if self.type == "url" else str_or_none
+        from investigraph_etl_spark.functions.countries import clean_country
+        from investigraph_etl_spark.functions.dates import clean_date, clean_datetime
+
+        cleaner = {
+            "url": clean_url,
+            "country": clean_country,
+            "date": clean_date,
+            "datetime": clean_datetime,
+        }.get(self.type, str_or_none)
         cleaned = F.transform(vals, lambda v: cleaner(v))
         return F.array_compact(cleaned)
 
@@ -110,13 +119,22 @@ class QueryMapping:
 
     @classmethod
     def from_dict(
-        cls, spec: dict, *, validate: bool = True, extra_schemata: set[str] | None = None
+        cls,
+        spec: dict,
+        *,
+        validate: bool = True,
+        extra_schemata: set[str] | None = None,
+        extra_properties: set[str] | None = None,
     ) -> QueryMapping:
         """Parse the reference's YAML query shape.  ``validate`` checks
-        each entity's schema against the FtM vocabulary at parse time
-        (reference mapping.py:32) so typos fail fast instead of
-        flowing into the statement store."""
-        from investigraph_etl_spark.functions.ftm import validate_schema
+        each entity's schema AND property names against the embedded FtM
+        vocabulary at parse time (reference mapping.py:32 via the FtM
+        model) so typos fail fast instead of flowing silently into the
+        statement store."""
+        from investigraph_etl_spark.functions.ftm import (
+            validate_property,
+            validate_schema,
+        )
 
         ents = {}
         for name, e in spec.get("entities", {}).items():
@@ -126,6 +144,8 @@ class QueryMapping:
             schema = e["schema"]
             if validate:
                 validate_schema(schema, extra=extra_schemata)
+                for p in props:
+                    validate_property(p, extra=extra_properties)
             ents[name] = EntityMapping(
                 schema=schema,
                 key=e.get("key"),

@@ -179,3 +179,52 @@ def test_fragment_merge_unions_values(spark):
     e = ents[0]
     assert sorted(e["properties"]["name"]) == ["A", "A2"]
     assert sorted(e["properties"]["keywords"]) == ["x", "y", "z"]
+
+
+def test_property_type_cleaning_country_and_date(spark):
+    """FtM cleans by property type on entity.add (reference
+    /root/reference/investigraph/util.py:41-43, upstream-asserted at
+    tests/test_util.py:23-27: country "France" -> "fr").  The compiler
+    must apply the same cleaning for type: country / date mappings."""
+    df = spark.createDataFrame(
+        [{"Name": "ACME", "Country": "France", "Founded": "03.04.2001"}]
+    )
+    mapping = QueryMapping.from_dict(
+        {
+            "entities": {
+                "org": {
+                    "schema": "Organization",
+                    "key": "Name",
+                    "properties": {
+                        "name": {"column": "Name"},
+                        "country": {"column": "Country", "type": "country"},
+                        "incorporationDate": {"column": "Founded", "type": "date"},
+                    },
+                }
+            }
+        }
+    )
+    e = entities_from_statements(
+        compile_statements(df, mapping, dataset="d", prefix="x")
+    ).collect()[0]
+    assert e["properties"]["country"] == ["fr"]
+    assert e["properties"]["incorporationDate"] == ["2001-04-03"]
+
+
+def test_unknown_property_name_rejected():
+    from investigraph_etl_spark.functions.ftm import UnknownPropertyError
+
+    bad = {
+        "entities": {
+            "x": {
+                "schema": "Organization",
+                "key": "a",
+                "properties": {"nmae": {"column": "a"}},
+            }
+        }
+    }
+    with pytest.raises(UnknownPropertyError):
+        QueryMapping.from_dict(bad)
+    # escape hatches mirror the schema ones
+    QueryMapping.from_dict(bad, validate=False)
+    QueryMapping.from_dict(bad, extra_properties={"nmae"})
