@@ -82,8 +82,10 @@ class PipelineConfig:
 
 
 def _abs(base: pathlib.Path, uri: str) -> str:
+    if "://" in uri:
+        return uri  # remote uri — pathlib would collapse "http://" to "http:/"
     p = pathlib.Path(uri)
-    return str(p if p.is_absolute() or "://" in uri else base / p)
+    return str(p if p.is_absolute() else base / p)
 
 
 def load_config(path: str, *, validate_schemata: bool = True) -> PipelineConfig:

@@ -42,7 +42,12 @@ class Source:
 
     def __post_init__(self) -> None:
         if self.name is None:
-            self.name = pathlib.Path(self.uri).stem
+            if "://" in self.uri:
+                from urllib.parse import urlparse
+
+                self.name = pathlib.Path(urlparse(self.uri).path).stem or "source"
+            else:
+                self.name = pathlib.Path(self.uri).stem
 
 
 def seed_sources(
@@ -69,6 +74,37 @@ def seed_sources(
 _ENCODING_ALIASES = {"latin": "ISO-8859-1", "latin1": "ISO-8859-1"}
 
 
+def fetch_to_spool(uri: str, cache_dir: str | None = None) -> str:
+    """Fetch a remote (http/https) source to a local spool file and
+    return the local path — content-addressed by uri, so repeat runs
+    reuse the download (the reference's archive-cache behavior,
+    /root/reference/investigraph/model/context.py:349-374: fetch once,
+    checksum-addressed).  Driver-side on purpose: reference sources are
+    single tabular files (the same reason the xlsx path is driver-side);
+    a 100 TB lake ingests from object storage the Spark readers address
+    natively, not via per-file HTTP."""
+    import hashlib
+    import os
+    import tempfile
+    import urllib.request
+    from urllib.parse import urlparse
+
+    cache = pathlib.Path(
+        cache_dir
+        or os.environ.get("INVESTIGRAPH_SPOOL")
+        or pathlib.Path(tempfile.gettempdir()) / "investigraph_spool"
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    name = pathlib.Path(urlparse(uri).path).name or "source"
+    key = hashlib.sha256(uri.encode("utf-8")).hexdigest()[:16]
+    dest = cache / f"{key}-{name}"
+    if not dest.exists():
+        tmp = cache / f"{dest.name}.part.{os.getpid()}"
+        urllib.request.urlretrieve(uri, tmp)
+        os.replace(tmp, dest)  # atomic: concurrent fetchers converge
+    return str(dest)
+
+
 def read_source(spark: SparkSession, source: Source) -> DataFrame:
     """Read one tabular source per its spec; stamps ``__source__``.
 
@@ -78,6 +114,10 @@ def read_source(spark: SparkSession, source: Source) -> DataFrame:
       ``dtype: str`` — all columns as strings (no inference)
       ``multiline`` (bool) — quoted newlines in fields
     """
+    if source.uri.startswith(("http://", "https://")):
+        import dataclasses
+
+        source = dataclasses.replace(source, uri=fetch_to_spool(source.uri))
     opts = dict(source.options)
     suffix = pathlib.Path(source.uri).suffix.lower()
     if suffix in (".xlsx", ".xls"):

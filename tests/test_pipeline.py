@@ -207,3 +207,43 @@ def test_custom_load_and_export_handlers(spark, tmp_path):
     # load handler filtered to name-statements only
     assert out["schemata"] == [{"name": "PublicBody", "count": 30}]
     assert out["statements"] == 30
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_http_source_through_pipeline(spark, tmp_path):
+    """Remote http source uri — the reference's most common deployment
+    shape, exercised hermetically via a local HTTP server exactly like
+    the reference test infra (/root/reference/tests/conftest.py:15-55).
+    The fetch spools once (content-addressed) and the golden 151-entity
+    run must be unchanged."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(CSV.parent)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/{CSV.name}"
+        from investigraph_etl_spark.sources.readers import Source, fetch_to_spool
+
+        # spool is content-addressed: two fetches, one local file
+        spool_dir = tmp_path / "spool"
+        p1 = fetch_to_spool(url, cache_dir=str(spool_dir))
+        p2 = fetch_to_spool(url, cache_dir=str(spool_dir))
+        assert p1 == p2 and pathlib.Path(p1).read_bytes() == CSV.read_bytes()
+
+        src = Source(uri=url, options={"multiline": True})
+        assert src.name == CSV.stem  # name derives from the url path
+        cfg_path = tmp_path / "config.yml"
+        cfg_path.write_text(
+            _write_eu_config(tmp_path).read_text().replace(str(CSV), url)
+        )
+        out = run_pipeline(spark, load_config(str(cfg_path)))
+        assert out["entities"] == 151
+    finally:
+        srv.shutdown()
+        srv.server_close()
