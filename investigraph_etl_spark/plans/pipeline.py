@@ -211,7 +211,15 @@ def run_pipeline(
     spark: SparkSession, cfg: PipelineConfig | str, *, limit: int | None = None
 ) -> dict:
     """Execute the full pipeline; returns run stats (the reference CLI
-    prints the same shape after ``investigraph run``)."""
+    prints the same shape after ``investigraph run``), including
+    per-stage wall-clock ``timings`` (the reference's ``WorkflowRun``,
+    /root/reference/investigraph/pipeline.py:14-24).  Spark caveat in
+    the numbers: extract/transform are LAZY (plan build only); the
+    clusters' work lands in whichever later stage triggers the action
+    (load's write, export's count) — the reference's stages are eager,
+    so its timings split differently by construction."""
+    import time as _time
+
     from investigraph_etl_spark.plans.stats import (
         dataset_stats,
         export_entities_json,
@@ -222,10 +230,16 @@ def run_pipeline(
 
     if isinstance(cfg, str):
         cfg = load_config(cfg)
+    timings: dict[str, float] = {}
+    t0 = _time.monotonic()
     records = extract_records(spark, cfg)
     if limit is not None:
         records = records.limit(limit)
+    timings["extract"] = round(_time.monotonic() - t0, 3)
+    t = _time.monotonic()
     statements = transform_statements(records, cfg)
+    timings["transform"] = round(_time.monotonic() - t, 3)
+    t = _time.monotonic()
     if cfg.load_handler:
         # reference custom load: handle(ctx, proxies) — here the
         # handler receives the statement DataFrame + config and may
@@ -236,6 +250,8 @@ def run_pipeline(
     elif cfg.load_uri:
         statements.write.mode("overwrite").parquet(cfg.load_uri)
         statements = spark.read.parquet(cfg.load_uri)  # reuse materialization
+    timings["load"] = round(_time.monotonic() - t, 3)
+    t = _time.monotonic()
     entities = entities_from_statements(statements)
     out = {"dataset": cfg.name}
     if cfg.export_handler:
@@ -245,9 +261,37 @@ def run_pipeline(
         out["entities"] = export_entities_json(entities, cfg.entities_uri)
     else:
         out["entities"] = entities.count()
+    timings["export"] = round(_time.monotonic() - t, 3)
+    t = _time.monotonic()
     stats = dataset_stats(statements)
     if cfg.index_uri:
         write_index_json(stats, cfg.index_uri, cfg.name)
+    timings["stats"] = round(_time.monotonic() - t, 3)
+    timings["total"] = round(_time.monotonic() - t0, 3)
     out["statements"] = stats["statement_count"]
     out["schemata"] = stats["schemata"]
+    out["timings"] = timings
     return out
+
+
+def inspect_pipeline(
+    spark: SparkSession, cfg: PipelineConfig | str, *, n: int = 10
+) -> dict:
+    """Preview a config without running the pipeline (the reference's
+    ``investigraph inspect``, /root/reference/investigraph/cli.py:178-187:
+    print resolved config + first records per stage) — the mapping-
+    author debugging loop.  Returns the resolved config summary plus the
+    first ``n`` extracted records and compiled statements; nothing is
+    written."""
+    if isinstance(cfg, str):
+        cfg = load_config(cfg)
+    records = extract_records(spark, cfg).limit(n)
+    statements = transform_statements(records, cfg).limit(n)
+    return {
+        "dataset": cfg.name,
+        "prefix": cfg.id_prefix,
+        "sources": [s.uri for s in cfg.sources],
+        "queries": len(cfg.queries),
+        "records": [r.asDict(recursive=True) for r in records.collect()],
+        "statements": [r.asDict(recursive=True) for r in statements.collect()],
+    }

@@ -7,6 +7,9 @@
 Subcommands:
   ``run``     — full YAML-config pipeline: extract → transform →
                 load → export (the reference's ``investigraph run -c``)
+  ``inspect`` — preview resolved config + first N records/statements
+                without running (the reference's ``investigraph
+                inspect``, cli.py:178-187)
   ``replay``  — batch replay of a changelog directory into the lake
   ``tail``    — streaming tailer (``--follow`` keeps running;
                 default drains available files and exits)
@@ -36,10 +39,14 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="investigraph_etl_spark")
     p.add_argument(
         "command",
-        choices=["run", "replay", "tail", "export", "lookup", "changes"],
+        choices=["run", "inspect", "replay", "tail", "export", "lookup", "changes"],
     )
-    p.add_argument("-c", "--config", help="pipeline YAML (run)")
+    p.add_argument("-c", "--config", help="pipeline YAML (run/inspect)")
     p.add_argument("-l", "--limit", type=int, help="record limit (run)")
+    p.add_argument(
+        "-n", "--preview", type=int, default=10,
+        help="rows to preview per stage (inspect)",
+    )
     p.add_argument("--changelog", help="binlog/WAL directory (parquet chunks)")
     p.add_argument("--lake", help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (tail)")
@@ -77,6 +84,14 @@ def main(argv: list[str] | None = None) -> None:
         if not args.config:
             p.error("run requires -c/--config")
         print(json.dumps(run_pipeline(spark, args.config, limit=args.limit)))
+        return
+
+    if args.command == "inspect":
+        from investigraph_etl_spark.plans.pipeline import inspect_pipeline
+
+        if not args.config:
+            p.error("inspect requires -c/--config")
+        print(json.dumps(inspect_pipeline(spark, args.config, n=args.preview)))
         return
 
     if not args.lake:

@@ -247,3 +247,33 @@ def test_http_source_through_pipeline(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@pytest.mark.skipif(not CSV.exists(), reason="reference fixtures absent")
+def test_inspect_cli_and_run_timings(spark, tmp_path, capsys):
+    """``inspect`` previews resolved config + first records/statements
+    without writing anything (reference cli.py:178-187); ``run``
+    returns per-stage wall-clock timings (reference WorkflowRun,
+    pipeline.py:14-24)."""
+    from investigraph_etl_spark.plans.pipeline import inspect_pipeline
+    from investigraph_etl_spark.run import main
+
+    cfg_path = _write_eu_config(tmp_path)
+    preview = inspect_pipeline(spark, str(cfg_path), n=5)
+    assert preview["dataset"] == "eu_authorities"
+    assert len(preview["records"]) == 5
+    assert 0 < len(preview["statements"]) <= 5
+    assert {"id", "schema", "prop", "value"} <= set(preview["statements"][0])
+    # nothing written by inspect
+    assert not (tmp_path / "out").exists()
+
+    main(["inspect", "-c", str(cfg_path), "-n", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dataset"] == "eu_authorities" and len(out["records"]) == 3
+
+    from investigraph_etl_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, str(cfg_path))
+    t = res["timings"]
+    assert {"extract", "transform", "load", "export", "stats", "total"} <= set(t)
+    assert t["total"] >= max(t["extract"], t["export"])
