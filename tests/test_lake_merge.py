@@ -417,3 +417,50 @@ def test_mvcc_pinned_reader_sees_stable_snapshot(spark, lake):
     lake.compact()
     assert_pdf_equal(pinned.toPandas(), expected_old)
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_manifest_bytes_per_commit_proportional_to_touched_buckets(spark, tmp_path):
+    """The Iceberg-style split (round 3): committing a batch that
+    touches ONE bucket writes metadata ∝ that bucket's (compaction-
+    bounded) file list plus an O(num_buckets)-pointer manifest list —
+    NOT the whole table's file inventory.  The flat round-2 layout
+    re-serialized EVERY bucket's file list per commit; here a
+    single-bucket commit on a well-populated 64-bucket table must write
+    far less than the flat-equivalent document, and untouched buckets'
+    manifest files must be reused, not rewritten."""
+    import json as _json
+    import pathlib as _pl
+
+    lake = HashLakeTable.create(
+        spark, str(tmp_path / "lake"), target_schema(), num_buckets=64
+    )
+    mdir = _pl.Path(lake.root) / "manifests"
+    # populate every bucket across several commits (default compaction)
+    for bid, start in enumerate(range(0, 6000, 1000)):
+        ev = gen_events_pandas(start, 1000, seed=7, n_docs=400)
+        lake.merge(prepare_batch(_spark_events(spark, ev)), bid)
+
+    cols = ["event_sequence", "op", "doc_id", "tokens", "n_tok", "source", "event_time"]
+    t = pd.to_datetime(0, unit="s")
+    before = {p.name: p.stat().st_size for p in mdir.iterdir()}
+    ev = pd.DataFrame([[10**6, "insert", "one-key", [1], 1, "web", t]], columns=cols)
+    lake.merge(prepare_batch(_spark_events(spark, ev)), 99)
+    new_files = [p for p in mdir.iterdir() if p.name not in before]
+    new_bytes = sum(p.stat().st_size for p in new_files)
+    # the flat layout would have re-serialized this whole document:
+    flat_bytes = len(
+        _json.dumps(
+            {
+                "buckets": lake._manifest.get("buckets", {}),
+                "deltas": lake._manifest.get("deltas", {}),
+            }
+        )
+    )
+    assert new_bytes < 0.3 * flat_bytes, (new_bytes, flat_bytes)
+    # exactly one bucket manifest rewritten; the other 63 reused
+    new_bm = [p for p in new_files if p.name.startswith("bm-")]
+    assert len(new_bm) == 1, [p.name for p in new_files]
+    refs = _json.loads(
+        (mdir / f"v{lake.version:06d}.json").read_text()
+    )["bucket_refs"]
+    assert sum(1 for r in refs.values() if r not in before) == 1
