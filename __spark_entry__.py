@@ -1370,25 +1370,36 @@ def oracle_sql() -> dict[str, str]:
                           || '@example.com or +1 555-0199 from 10.0.0.'
                           || CAST(doc_id % 255 AS VARCHAR) AS text
               FROM documents
-            ), scrubbed AS (
+            ), s1 AS (
+              -- per-stage match counts (not placeholder counts): a
+              -- literal '<email>' in the source must not inflate them
               SELECT doc_id,
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(text,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                      '<email>', 'g'),
-                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                    '<ipv4>', 'g'),
-                  '\\+?\\d{3}[-. ]\\d{3,4}([-. ]\\d{4})?', '<phone>', 'g'
-                  ) AS clean
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<email>', 'g') AS t
               FROM injected
+            ), s2 AS (
+              SELECT doc_id, c1,
+                     len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS c2,
+                     regexp_replace(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<ipv4>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, c1, c2,
+                     len(regexp_extract_all(t,
+                       '\\+?\\d{3}[-. ]\\d{3,4}([-. ]\\d{4})?')) AS c3,
+                     regexp_replace(t,
+                       '\\+?\\d{3}[-. ]\\d{3,4}([-. ]\\d{4})?',
+                       '<phone>', 'g') AS t
+              FROM s2
             )
-            SELECT doc_id, md5(clean) AS clean_md5,
-                   CAST(len(regexp_split_to_array(clean, '<email>')) - 1
-                      + len(regexp_split_to_array(clean, '<phone>')) - 1
-                      + len(regexp_split_to_array(clean, '<ipv4>')) - 1
-                     AS INT) AS n_redactions
-            FROM scrubbed
+            SELECT doc_id, md5(t) AS clean_md5,
+                   CAST(c1 + c2 + c3 AS INT) AS n_redactions
+            FROM s3
         """,
         "events_tumbling_window": """
             SELECT strftime(time_bucket(INTERVAL '6 hours', ts),

@@ -244,18 +244,15 @@ def pii_scrub(
     pipeline runs before tokenization.  Pure column expressions (one
     regexp pass per pattern, chained in one projection — zero shuffle,
     zero Python); returns (id, text_clean, n_redactions)."""
-    original = F.col(text_col)
-    cleaned = original
+    # count actual matches per stage (on the text as it stands when
+    # that pattern runs) rather than placeholder occurrences afterwards
+    # — a source text that already contains a literal "<email>" must
+    # not inflate n_redactions (round-3 fix of a VERDICT r2 watch item)
+    cleaned = F.col(text_col)
+    n = F.lit(0)
     for name, pat in PII_PATTERNS.items():
+        n = n + F.regexp_count(cleaned, F.lit(pat))
         cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
-    # redaction count = placeholder occurrences in the cleaned text
-    n = sum(
-        (
-            F.size(F.split(cleaned, f"<{name}>", -1)) - 1
-            for name in PII_PATTERNS
-        ),
-        F.lit(0),
-    )
     return df.select(
         F.col(id_col),
         cleaned.alias("text_clean"),

@@ -120,6 +120,20 @@ def test_pii_scrub_redacts_typed_spans(spark):
     assert out[4]["n_redactions"] == 0 and out[4]["text_clean"] == rows[3][1]
 
 
+def test_pii_scrub_counts_matches_not_placeholders(spark):
+    """A source text already containing a literal placeholder must not
+    inflate n_redactions (counts are per-stage regex matches)."""
+    from investigraph_etl_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "docs mention <email> tokens and a real a@b.co address")],
+        ["doc_id", "text"],
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_redactions"] == 1
+    assert r["text_clean"].count("<email>") == 2  # literal + redacted
+
+
 def test_repetition_stats_flags_loops(spark):
     """Gopher repetition filters: a one-word loop and a bigram loop are
     dropped, natural text is kept, single-word docs are well-defined."""
