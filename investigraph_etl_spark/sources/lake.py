@@ -101,6 +101,13 @@ class HashLakeTable:
         # snapshotted (harvest drops exactly that prefix per bucket)
         self._compact_pool = None
         self._compact_future = None
+        # compaction rewrites sort each bucket by key and roll files at
+        # this row count, giving the bucket a set of key-range-disjoint
+        # base files whose footer min/max land in the bucket manifest —
+        # point lookups then prune to O(1) base files per bucket instead
+        # of the whole bucket (Iceberg sorted-rewrite + data skipping).
+        # None = let the write produce one file per bucket per task.
+        self.compact_target_file_rows: int | None = None
 
     # ---------------------------------------------------------- create
     @classmethod
@@ -162,6 +169,7 @@ class HashLakeTable:
         prev_deltas = prev.get("deltas", {})
         bases = manifest.get("buckets", {})
         deltas = manifest.get("deltas", {})
+        stats = manifest.get("file_stats", {})
         refs: dict[str, str] = {}
         for b in sorted(set(bases) | set(deltas), key=int):
             base, dsets = bases.get(b, []), deltas.get(b, [])
@@ -173,11 +181,15 @@ class HashLakeTable:
                 refs[b] = prev_refs[b]  # unchanged → reuse, no rewrite
             else:
                 refs[b] = f"bm-v{v:06d}-b{b}.json"
+                bfiles = list(base) + [f for ds in dsets for f in ds]
+                bstats = {f: stats[f] for f in bfiles if f in stats}
                 (mdir / refs[b]).write_text(
-                    json.dumps({"base": base, "deltas": dsets})
+                    json.dumps({"base": base, "deltas": dsets, "stats": bstats})
                 )
         listing = {
-            k: val for k, val in manifest.items() if k not in ("buckets", "deltas")
+            k: val
+            for k, val in manifest.items()
+            if k not in ("buckets", "deltas", "file_stats")
         }
         listing["bucket_refs"] = refs
         (mdir / f"v{v:06d}.json").write_text(json.dumps(listing))
@@ -202,18 +214,75 @@ class HashLakeTable:
             return doc
         buckets: dict[str, list] = {}
         deltas: dict[str, list] = {}
+        file_stats: dict[str, list] = {}
         for b, ref in doc["bucket_refs"].items():
             bm = json.loads((mdir / ref).read_text())
             if bm["base"]:
                 buckets[b] = bm["base"]
             if bm["deltas"]:
                 deltas[b] = bm["deltas"]
-        return {**doc, "buckets": buckets, "deltas": deltas}
+            file_stats.update(bm.get("stats", {}))
+        return {**doc, "buckets": buckets, "deltas": deltas,
+                "file_stats": file_stats}
 
     def _load_manifest(self) -> dict:
         v = int((self.root / "_latest").read_text())
         mdir = self.root / "manifests"
         return self._materialize(mdir, json.loads((mdir / f"v{v:06d}.json").read_text()))
+
+    def _harvest_file_stats(self, files: list[str]) -> dict[str, list]:
+        """Per-file ``[min, max]`` of the table key, read from parquet
+        FOOTERS (no data scan — the Iceberg write-time column-stats
+        analog, harvested instead of computed because the files were
+        just written by a Spark job).  Driver cost ∝ files written this
+        commit, never table size.  A file whose footer lacks key stats
+        is simply absent from the result — readers treat missing stats
+        as "may contain anything", so stats are a pure pruning hint and
+        never a correctness dependency.  Parquet min/max may be
+        truncated bounds (parquet-mr truncates long binary stats); a
+        truncated min is still a valid lower bound and a truncated max
+        a valid upper bound, so range pruning stays conservative."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, list] = {}
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.names.index(self.key)
+            except Exception:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                gmin, gmax = st.min, st.max
+                if isinstance(gmin, bytes):
+                    gmin = gmin.decode("utf-8", "surrogateescape")
+                if isinstance(gmax, bytes):
+                    gmax = gmax.decode("utf-8", "surrogateescape")
+                lo = gmin if lo is None else min(lo, gmin)
+                hi = gmax if hi is None else max(hi, gmax)
+            if ok and lo is not None:
+                out[f] = [lo, hi]
+        return out
+
+    @staticmethod
+    def _files_for_keys(
+        files: list[str], stats: dict[str, list], keys: list
+    ) -> list[str]:
+        """Drop files whose key range provably excludes every requested
+        key (missing stats ⇒ keep).  Sound for LWW reads: a pruned file
+        contributes no row for any requested key, so winners per key are
+        unchanged."""
+        kept = []
+        for f in files:
+            s = stats.get(f)
+            if s is None or any(s[0] <= k <= s[1] for k in keys):
+                kept.append(f)
+        return kept
 
     # ------------------------------------------------------ properties
     @property
@@ -326,14 +395,25 @@ class HashLakeTable:
         )
 
     def read_keys(self, keys: list[str]) -> DataFrame:
-        """Point / multi-key lookup with bucket pruning: scan only the
-        buckets the keys hash into, then filter to the keys — a lookup
-        touches ``|buckets(keys)|/num_buckets`` of the table's files
-        (at 100 TB, a single-key fetch reads one bucket, not the lake).
-        Bucket ids come from the same ``xxhash64`` expression the merge
-        path clusters by, evaluated in ONE tiny driver-side job over
-        the key list (bounded by ``len(keys)``, never by table size).
-        Tombstoned keys return no row, exactly like :meth:`read`."""
+        """Point / multi-key lookup with two pruning layers:
+
+        1. **bucket pruning** — scan only the buckets the keys hash
+           into (the same ``xxhash64`` expression the merge path
+           clusters by, evaluated in ONE tiny driver-side job over the
+           key list, bounded by ``len(keys)`` never table size);
+        2. **file skipping** — within those buckets, drop every file
+           whose manifest ``[min,max]`` key range excludes all
+           requested keys (footer stats harvested at write time, see
+           :meth:`_harvest_file_stats`).  Compacted bases are
+           key-sorted and optionally range-rolled, so after compaction
+           a single-key fetch reads O(1) base files of ONE bucket —
+           at 100 TB that is megabytes, not the lake.
+
+        Pruning never changes LWW winners: a skipped file contains no
+        version of any requested key.  Tombstoned keys return no row,
+        exactly like :meth:`read`."""
+        from investigraph_etl_spark.operators.lww import lww_dedup
+
         cols = [f.name for f in self.schema.fields]
         if not keys:
             return self.read().limit(0)
@@ -351,9 +431,20 @@ class HashLakeTable:
             .distinct()
             .collect()
         )
+        files = self._files_for_keys(
+            self._bucket_files(buckets),
+            self._manifest.get("file_stats", {}),
+            list(keys),
+        )
+        merged = lww_dedup(
+            self._scan(files, self.schema),
+            self.key,
+            "_seq",
+            extra_keys=("_commit",),
+            winners_strategy="auto",
+        )
         return (
-            self.read_raw(buckets)
-            .filter(~F.col("_deleted"))
+            merged.filter(~F.col("_deleted"))
             .filter(F.col(self.key).isin(list(keys)))
             .select(*cols)
         )
@@ -775,6 +866,10 @@ class HashLakeTable:
             b = bdir.name.split("=", 1)[1]
             new_files[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
         touched = sorted(int(b) for b in new_files)
+        file_stats = dict(self._manifest.get("file_stats", {}))
+        file_stats.update(
+            self._harvest_file_stats([f for fl in new_files.values() for f in fl])
+        )
 
         # 5. commit: append deltas, swap pointer
         deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
@@ -791,6 +886,7 @@ class HashLakeTable:
             "deltas": deltas,
             "commits": commits,
             "lineage": lineage,
+            "file_stats": file_stats,
         }
 
         # 6. bounded read amplification: fold buckets at the delta
@@ -839,7 +935,17 @@ class HashLakeTable:
     # ------------------------------------------------------- compaction
     def _compact_into_manifest(self, buckets: list[int], version: int) -> int:
         """Fold base ∪ deltas into a new base for ``buckets``, updating
-        ``self._manifest`` in place (caller writes the manifest)."""
+        ``self._manifest`` in place (caller writes the manifest).
+
+        The rewrite sorts each bucket by key *within* its write task
+        (``sortWithinPartitions`` — a local sort, no exchange) and, when
+        :attr:`compact_target_file_rows` is set, rolls output files at
+        that row count: a bucket's base becomes key-range-DISJOINT
+        files, whose footer min/max (harvested into the bucket
+        manifest) let :meth:`read_keys` prune to O(1) base files per
+        bucket.  Delta files stay unsorted (the hot write path never
+        sorts, see merge step 4) — at 100 TB the compacted base is
+        ~everything, so skipping lives where the bytes are."""
         from investigraph_etl_spark.operators.lww import lww_dedup
 
         files = self._bucket_files(buckets)
@@ -854,18 +960,37 @@ class HashLakeTable:
             winners_strategy="auto",
         ).withColumn("_bucket", bucket_expr)
         merged = merged.repartition(max(len(buckets), 1), "_bucket")
+        merged = merged.sortWithinPartitions("_bucket", self.key)
         out_dir = self.root / "data" / f"c{version:06d}x"
-        merged.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
+        writer = merged.write
+        if self.compact_target_file_rows:
+            writer = writer.option(
+                "maxRecordsPerFile", self.compact_target_file_rows
+            )
+        writer.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
         new_base: dict[str, list[str]] = {}
         for bdir in out_dir.glob("_bucket=*"):
             b = bdir.name.split("=", 1)[1]
             new_base[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
         bases = dict(self._manifest["buckets"])
         deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+        file_stats = dict(self._manifest.get("file_stats", {}))
+        for f in files:
+            file_stats.pop(f, None)  # superseded by the new base
+        file_stats.update(
+            self._harvest_file_stats(
+                [f for fl in new_base.values() for f in fl]
+            )
+        )
         for b in buckets:
             bases[str(b)] = new_base.get(str(b), [])
             deltas.pop(str(b), None)
-        self._manifest = {**self._manifest, "buckets": bases, "deltas": deltas}
+        self._manifest = {
+            **self._manifest,
+            "buckets": bases,
+            "deltas": deltas,
+            "file_stats": file_stats,
+        }
         return len(buckets)
 
     # ------------------------------------------------- async compaction
@@ -915,9 +1040,11 @@ class HashLakeTable:
 
     def _compute_compacted(
         self, snapshot: dict[str, list[str]], out_dir, stored: StructType
-    ) -> dict[str, list[str]]:
+    ) -> tuple[dict[str, list[str]], dict[str, list]]:
         """Background-thread body: LWW-fold the snapshotted files into
-        new per-bucket bases.  Touches no table state."""
+        new per-bucket bases (key-sorted within each bucket, see
+        :meth:`_compact_into_manifest`).  Touches no table state;
+        returns (bucket → new base files, file → [min,max] key stats)."""
         from investigraph_etl_spark.operators.lww import lww_dedup
 
         files = [f for fl in snapshot.values() for f in fl]
@@ -928,12 +1055,21 @@ class HashLakeTable:
             winners_strategy="auto",
         ).withColumn("_bucket", bucket_expr)
         merged = merged.repartition(max(len(snapshot), 1) * 4, "_bucket")
-        merged.write.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
+        merged = merged.sortWithinPartitions("_bucket", self.key)
+        writer = merged.write
+        if self.compact_target_file_rows:
+            writer = writer.option(
+                "maxRecordsPerFile", self.compact_target_file_rows
+            )
+        writer.partitionBy("_bucket").mode("overwrite").parquet(str(out_dir))
         new_base: dict[str, list[str]] = {b: [] for b in snapshot}
         for bdir in pathlib.Path(out_dir).glob("_bucket=*"):
             b = bdir.name.split("=", 1)[1]
             new_base[b] = sorted(str(p) for p in bdir.glob("*.parquet"))
-        return new_base
+        new_stats = self._harvest_file_stats(
+            [f for fl in new_base.values() for f in fl]
+        )
+        return new_base, new_stats
 
     def _harvest_compaction(self, *, block: bool) -> int:
         """Fold a finished background compaction into the in-memory
@@ -944,18 +1080,30 @@ class HashLakeTable:
         fut, consumed = self._compact_future
         if not block and not fut.done():
             return 0
-        new_base = fut.result()  # re-raises background failures here
+        new_base, new_stats = fut.result()  # re-raises background failures
         self._compact_future = None
         bases = dict(self._manifest["buckets"])
         deltas = {k: list(v) for k, v in self._manifest.get("deltas", {}).items()}
+        file_stats = dict(self._manifest.get("file_stats", {}))
         for b, files in new_base.items():
+            consumed_files = bases.get(b, []) + [
+                f for ds in deltas.get(b, [])[: consumed[b]] for f in ds
+            ]
+            for f in consumed_files:
+                file_stats.pop(f, None)
             bases[b] = files
             remaining = deltas.get(b, [])[consumed[b]:]
             if remaining:
                 deltas[b] = remaining
             else:
                 deltas.pop(b, None)
-        self._manifest = {**self._manifest, "buckets": bases, "deltas": deltas}
+        file_stats.update(new_stats)
+        self._manifest = {
+            **self._manifest,
+            "buckets": bases,
+            "deltas": deltas,
+            "file_stats": file_stats,
+        }
         return len(new_base)
 
     def wait_for_compaction(self) -> int:

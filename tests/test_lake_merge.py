@@ -464,3 +464,96 @@ def test_manifest_bytes_per_commit_proportional_to_touched_buckets(spark, tmp_pa
         (mdir / f"v{lake.version:06d}.json").read_text()
     )["bucket_refs"]
     assert sum(1 for r in refs.values() if r not in before) == 1
+
+
+def _bucket_of(lake, key: str) -> int:
+    from pyspark.sql import functions as F
+
+    return (
+        lake.spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key)), F.lit(lake.num_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()[0]["b"]
+    )
+
+
+def test_read_keys_file_skipping_after_sorted_compaction(spark, lake):
+    """Iceberg-style data skipping: compaction sorts each bucket by key
+    and rolls files at compact_target_file_rows, so a point lookup
+    reads a strict subset of even its OWN bucket's base files — and the
+    result still equals the filtered full read (pruning can never
+    change LWW winners)."""
+    lake.compact_target_file_rows = 4
+    events = gen_events_pandas(0, 3000, seed=31, n_docs=200)
+    for bid, start in enumerate(range(0, 3000, 1000)):
+        chunk = events.iloc[start : start + 1000]
+        lake.merge(prepare_batch(_spark_events(spark, chunk)), bid)
+    lake.compact()
+    oracle = oracle_reduce(events)
+    key = str(oracle["doc_id"].iloc[0])
+    got = lake.read_keys([key]).toPandas()
+    assert_pdf_equal(got, oracle[oracle["doc_id"] == key])
+    # the key's bucket was rolled into several key-disjoint files …
+    bucket_files = set(lake._manifest["buckets"][str(_bucket_of(lake, key))])
+    assert len(bucket_files) > 1
+    # … and the lookup reads a strict subset of them
+    touched = {
+        f.removeprefix("file://") for f in lake.read_keys([key]).inputFiles()
+    }
+    assert touched and touched < bucket_files
+    # every base file now carries harvested [min,max] key stats
+    stats = lake._manifest["file_stats"]
+    for fl in lake._manifest["buckets"].values():
+        for f in fl:
+            assert f in stats and stats[f][0] <= stats[f][1]
+
+
+def test_file_stats_survive_manifest_roundtrip(spark, lake):
+    """Stats persist in the per-bucket manifests: a fresh table handle
+    (new reader process) prunes lookups just like the writer did."""
+    lake.compact_target_file_rows = 4
+    events = gen_events_pandas(0, 2000, seed=32, n_docs=150)
+    replay_batch(_spark_events(spark, events), lake)
+    lake.compact()
+    oracle = oracle_reduce(events)
+    key = str(oracle["doc_id"].iloc[1])
+    reopened = HashLakeTable(spark, str(lake.root))
+    assert reopened._manifest["file_stats"] == lake._manifest["file_stats"]
+    bucket_files = set(reopened._manifest["buckets"][str(_bucket_of(lake, key))])
+    touched = {
+        f.removeprefix("file://") for f in reopened.read_keys([key]).inputFiles()
+    }
+    assert touched and touched < bucket_files
+    assert_pdf_equal(
+        reopened.read_keys([key]).toPandas(),
+        oracle[oracle["doc_id"] == key],
+    )
+
+
+def test_file_skipping_with_tombstones_and_async_compaction(spark, lake):
+    """Skipping is sound under the full LWW surface: tombstoned keys
+    stay dead, late events stay lost, and the async-compaction harvest
+    carries the new bases' stats (old files' stats dropped)."""
+    lake.compact_target_file_rows = 4
+    events = gen_events_pandas(0, 2500, seed=33, n_docs=180, dirty_frac=0.1)
+    for bid, start in enumerate(range(0, 2500, 500)):
+        chunk = events.iloc[start : start + 500]
+        lake.merge(
+            prepare_batch(_spark_events(spark, chunk)),
+            bid,
+            auto_compact_deltas=2,
+            compact_mode="async",
+        )
+    lake.wait_for_compaction()
+    oracle = oracle_reduce(events)
+    all_ids = {f"doc-{n:08d}" for n in range(180)}
+    dead = sorted(all_ids - set(oracle["doc_id"]))[:2]
+    live = [str(k) for k in oracle["doc_id"].iloc[:3]]
+    got = lake.read_keys(live + dead).toPandas()
+    assert_pdf_equal(got, oracle[oracle["doc_id"].isin(live)])
+    # stats reference only files the manifest still points at
+    current = set(lake._bucket_files())
+    assert set(lake._manifest["file_stats"]) <= current
