@@ -776,12 +776,17 @@ def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_lake(spark: SparkSession, sf_dir: str):
+def _events_lake(spark: SparkSession, sf_dir: str, *, compact_rows: int = 0):
     """Lake built from the registered ``events`` view (so DuckDB can
     oracle the result): key=user_id, seq=event_id, 'error'→delete.
     Merged as TWO commits split at max(event_id)//2 — returns
     ``(lake, [version_after_commit_1, version_after_commit_2])`` so
-    callers can time-travel to the mid-replay snapshot."""
+    callers can time-travel to the mid-replay snapshot.
+
+    ``compact_rows`` > 0 additionally runs a key-sorted compaction that
+    rolls base files at that row count — each bucket becomes several
+    key-range-DISJOINT files with footer-harvested [min,max] stats in
+    the manifest, the precondition for file-level data skipping."""
     import tempfile
 
     from pyspark.sql.types import (
@@ -823,15 +828,21 @@ def _events_lake(spark: SparkSession, sf_dir: str):
     ):
         stats = lake.merge(part, bid, seq="_evseq", op="op")
         versions.append(stats["version"])
+    if compact_rows:
+        lake.compact_target_file_rows = compact_rows
+        lake.compact()
     return lake, versions
 
 
 def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine point lookup THROUGH the lake: replay events into a
-    bucketed table, then ``read_keys`` for the 5 smallest user_ids —
-    the scan prunes to those keys' buckets (the 100 TB single-key
-    fetch story), verified against DuckDB's final-state SQL."""
-    lake, _ = _events_lake(spark, sf_dir)
+    bucketed table, key-sort-compact it into range-rolled base files,
+    then ``read_keys`` for the 5 smallest user_ids — the scan prunes
+    first to those keys' buckets, then (via the footer-harvested
+    [min,max] manifest stats) to the few base files whose key range
+    covers them (the 100 TB single-key fetch story: O(1) files of one
+    bucket, not the lake), verified against DuckDB's final-state SQL."""
+    lake, _ = _events_lake(spark, sf_dir, compact_rows=16)
     keys = [
         r[0]
         for r in _t(spark, sf_dir, "events")
