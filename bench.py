@@ -465,7 +465,11 @@ def write_bench_md(result: dict) -> None:
         "bytes it saves on low-dup micro-batches), deltas append with",
         "bytes ∝ batch, and threshold compaction folds on a background",
         "thread overlapped with later commits' write jobs (harvested",
-        "into a subsequent manifest).  The round-1 copy-on-write design",
+        "into a subsequent manifest).  Compaction rewrites are",
+        "key-sorted per bucket with footer-harvested per-file [min,max]",
+        "key stats in the manifests (round 3) — point lookups file-skip",
+        "within their bucket (asserted in tests/test_lake_merge.py).",
+        "The round-1 copy-on-write design",
         "rewrote touched buckets every commit; round-2 sync merge-on-read",
         "measured 139k ev/s on this same input.",
         "",
