@@ -286,6 +286,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-reuse dedup via winnowing fingerprints (MOSS, SIGMOD'03):
+    per doc, the distinct window-min word 4-grams; pairs sharing any
+    fingerprint.  Detects verbatim passage copying that set-similarity
+    dedup dilutes away; the winnowed ~2/(window+1) fingerprint density
+    is the scale lever vs a raw k-gram self-join.  DuckDB oracles the
+    identical window-min selection + self-join."""
+    from investigraph_etl_spark.operators.dedup import winnow_span_pairs
+
+    return winnow_span_pairs(
+        _t(spark, sf_dir, "documents"), k=4, window=4, min_common=1
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from investigraph_etl_spark.operators.similarity import brute_force_knn
 
@@ -922,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "corpus_percentiles": q_corpus_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_span_pairs": q_winnow_span_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1218,6 +1233,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+        """,
+        "winnow_span_pairs": """
+            WITH ws AS (
+              SELECT doc_id, list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''),
+                       w -> lower(w)) AS w
+              FROM documents
+            ), pg AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(w) - 3)) AS pos,
+                     unnest(list_transform(generate_series(1, len(w) - 3),
+                                           i -> array_to_string(w[i:i+3], ' '))) AS gram
+              FROM ws WHERE len(w) >= 4
+              UNION ALL
+              SELECT doc_id, 1, array_to_string(w, ' ') FROM ws WHERE len(w) < 4
+            ), sel AS (
+              SELECT DISTINCT doc_id,
+                     MIN(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS gram
+              FROM pg
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_common
+            FROM sel a JOIN sel b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 1
         """,
         "entity_schema_counts": """
             SELECT 'LegalEntity' AS "schema",

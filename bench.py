@@ -56,6 +56,7 @@ HEADLINE = [
     "token_counts",
     "knn_bruteforce",
     "minhash_lsh",
+    "winnow_span_pairs",
     "simhash_near_dups",
     "lsh_knn",
     "embedding_near_dup",
@@ -93,7 +94,13 @@ PAIR = tuple(
 # min-of-N reps per level: the hypervisor under this sandbox steals CPU
 # in multi-second bursts; raise reps when a run shows high rep variance.
 # The count is fixed A PRIORI (never extended based on the result).
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+# Raised 6→10 in round 3 under that exact pre-registered trigger: the
+# r3 run's slow level measured a 1.78× within-level rep spread (47-84s
+# for the identical job), inside the 2× validity rule but clearly
+# steal-contaminated — min-of-N under one-sided stall noise improves
+# with N.  The raise is value-blind: it applies to every future run,
+# whatever number results.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))
 # sequential merge commits for the incremental-ingest measurement
 INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "16"))
 

@@ -149,6 +149,116 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): per doc, the DISTINCT set of
+    window-minimum word ``k``-grams.
+
+    Selection rule, stated so both engines can compute it identically:
+    for every trailing window of ``window`` consecutive gram positions
+    (partial head windows included — a superset of classic winnowing's
+    full windows, which only strengthens the guarantee), fingerprint
+    the window's MINIMUM gram VALUE.  The selected value of a window
+    depends only on the window's contents, so two documents sharing a
+    verbatim run of ≥ ``window + k - 1`` words contain a full shared
+    window and therefore share its min — the classic winnowing
+    guarantee.  This catches *span reuse* (verbatim passage copying,
+    boilerplate) that set-similarity dedup (Jaccard/MinHash/SimHash)
+    dilutes away when the shared span is a small fraction of each doc.
+
+    Plan shape: one projection materializing the lowered words array
+    (single tokenization — the :func:`word_shingles_of` trap), one
+    posexplode of positional grams (cost ∝ words), one per-doc window
+    min (a shuffle on ``id_col``; at 100 TB documents hash-partition
+    evenly — no skew, no global sort), then a distinct whose input is
+    already ~|grams| but whose OUTPUT is the winnowed ~2/(window+1)
+    density, which is the whole point: downstream joins see w/2× less
+    volume than a raw k-gram join.  Expressed identically as DuckDB
+    window SQL in the gate oracle.  Short docs (< k words) fingerprint
+    as their whole text, same fallback as :func:`word_shingles_of`.
+    Returns DISTINCT ``(id_col, gram)`` rows.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.transform(words(F.col(text_col)), lambda w: F.lower(w)).alias("_ws"),
+    )
+    n = F.size(F.col("_ws"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("_ws"), i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(F.col("_ws"), " ")))
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        pos_grams.select(F.col(id_col), F.min("gram").over(w).alias("gram"))
+        .distinct()
+    )
+
+
+def winnow_span_pairs(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 4,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Span-reuse near-dup pairs via winnowing fingerprints:
+    ``(id_a < id_b, n_common)`` for pairs sharing ≥ ``min_common``
+    selected fingerprints.  Any pair sharing a verbatim run of
+    ≥ ``window + k - 1`` words is guaranteed present (at
+    ``min_common=1``).
+
+    Same join scaffold as :func:`ngram_jaccard_pairs`, but the
+    self-join input is the winnowed ~2/(window+1)-density fingerprint
+    set instead of all shingles — winnowing IS the scale lever here.
+    ``max_gram_df`` additionally drops fingerprints appearing in more
+    than that many docs (boilerplate cap for web scale; off by default
+    to preserve oracle parity)."""
+    fp = winnow_fingerprints(
+        fan_out(df), k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "gram")
+    if max_gram_df is not None:
+        rare = (
+            fp.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("gram")
+        )
+        fp = fp.join(rare, "gram", "left_semi")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

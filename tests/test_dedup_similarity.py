@@ -410,3 +410,106 @@ def test_asof_join_column_collision_suffix(spark):
     right = spark.createDataFrame([(1, 9, 2.0)], "k int, ts int, value double")
     out = asof_join(left, right, on="ts", by="k").collect()[0]
     assert out["value"] == 1.0 and out["value_right"] == 2.0
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def _winnow_oracle(texts: dict[int, str], k: int, window: int) -> dict[int, set]:
+    """Python reference of the selection rule: per trailing window of
+    `window` gram positions (partial heads included), fingerprint the
+    window's min gram value."""
+    out: dict[int, set] = {}
+    for did, text in texts.items():
+        ws = [w.lower() for w in text.split()]
+        if len(ws) >= k:
+            grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        else:
+            grams = [" ".join(ws)]
+        sel = {
+            min(grams[max(0, i - window + 1) : i + 1])
+            for i in range(len(grams))
+        }
+        out[did] = sel
+    return out
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    from investigraph_etl_spark.operators.dedup import winnow_fingerprints
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "a completely different sentence with many many words inside it",
+        2: "short one",
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=4, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["gram"])
+    assert got == _winnow_oracle(texts, 4, 4)
+
+
+def test_winnow_guarantee_shared_span_is_detected(spark):
+    """The winnowing guarantee: two docs sharing a verbatim run of
+    ≥ window+k-1 words share ≥1 fingerprint, so the pair surfaces at
+    min_common=1 — even when the span is a small fraction of each doc
+    (the case Jaccard-style set similarity misses)."""
+    from investigraph_etl_spark.operators.dedup import winnow_span_pairs
+
+    span = "one two three four five six seven"  # 7 = window+k-1 words
+    a = "alpha bravo charlie delta " + span + " echo foxtrot golf hotel"
+    b = "india juliet kilo lima mike " + span + " november oscar papa"
+    c = "quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in winnow_span_pairs(df, k=4, window=4, min_common=1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_exact_dup_shares_all_fingerprints(spark):
+    from investigraph_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_span_pairs,
+    )
+
+    t = "spark engines process token arrays at considerable scale daily"
+    df = spark.createDataFrame([(0, t), (1, t)], ["doc_id", "text"])
+    n_fp = (
+        winnow_fingerprints(df, k=4, window=4)
+        .filter(F.col("doc_id") == 0)
+        .count()
+    )
+    row = winnow_span_pairs(df, k=4, window=4).collect()[0]
+    assert (row["id_a"], row["id_b"]) == (0, 1)
+    assert row["n_common"] == n_fp
+
+
+def test_winnow_max_gram_df_drops_boilerplate(spark):
+    """A fingerprint present in every doc (boilerplate) is dropped by
+    the df cap; genuinely rare shared spans survive."""
+    from investigraph_etl_spark.operators.dedup import winnow_span_pairs
+
+    boiler = "subscribe to our newsletter for updates"
+    rare = "unique shared passage of exactly seven words"
+    rows = [
+        (0, boiler + " " + rare),
+        (1, boiler + " " + rare),
+        (2, boiler + " something else entirely different here now"),
+        (3, boiler + " yet another unrelated trailing text body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_span_pairs(
+            df, k=4, window=4, min_common=1, max_gram_df=2
+        ).collect()
+    }
+    assert (0, 1) in capped
+    # pairs held together ONLY by the everywhere-boilerplate are gone
+    assert (2, 3) not in capped
