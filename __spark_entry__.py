@@ -534,6 +534,21 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (training-order pass): shard =
+    md5-hash(key∥salt) % 8, pos = rank within shard by (hash, key).
+    Reading shards in (shard, pos) order is a reproducible global
+    permutation — and there is NO global sort in the plan (each shard
+    ranks independently inside its hash partition; a naive ORDER BY
+    hash would be a range exchange at 100 TB).  DuckDB reproduces the
+    identical md5 ranks, so the gate value-checks the whole
+    permutation."""
+    from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, key_col="doc_id", n_shards=8, salt="ep0")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling + split assignment: per-lang keep
     fractions via the md5-hash uniform (reproducible across engines,
@@ -955,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "shuffle_shards": q_shuffle_shards,
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
         "lake_point_lookup": q_lake_point_lookup,
@@ -1376,6 +1392,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p ON c.user_id = p.user_id
                          AND c.ts >= p.win_start AND c.ts < p.win_end
             GROUP BY 1, 2
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'ep0'),1,8)) AS BIGINT) AS hv
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hv % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                           ORDER BY hv, doc_id) AS INT) AS pos
+            FROM h
         """,
         "stratified_sample": """
             WITH u AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "pack_sequences",
     "dup_clusters",
     "stratified_sample",
+    "shuffle_shards",
     "range_join",
     "decontaminate",
     "repetition_signals",

@@ -31,13 +31,19 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(2**32)
 
 
-def hash_uniform(key: Column | str, *, salt: str = "") -> Column:
-    """Deterministic uniform [0,1) value per key (md5-based)."""
+def hash_long(key: Column | str, *, salt: str = "") -> Column:
+    """The raw 32-bit hash value behind :func:`hash_uniform`, as a
+    non-negative long — for ordering/bucketing uses where float
+    precision has no business existing."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.conv(
+    return F.conv(
         F.substring(F.md5(F.concat(k.cast("string"), F.lit(salt))), 1, 8), 16, 10
     ).cast("long")
-    return h / F.lit(_HASH_SPACE)
+
+
+def hash_uniform(key: Column | str, *, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) value per key (md5-based)."""
+    return hash_long(key, salt=salt) / F.lit(_HASH_SPACE)
 
 
 def deterministic_sample(
@@ -99,3 +105,42 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle WITHOUT a global sort —
+    the epoch-shuffle pass a training-data pipeline runs before
+    writing shards.
+
+    Each row gets ``shard = h(key∥salt) % n_shards`` and ``pos`` = its
+    rank within the shard by ``(h, key)``; reading shards in
+    ``(shard, pos)`` order is a reproducible pseudo-random global
+    permutation that depends only on ``(key, salt)`` — a new salt is a
+    new epoch order, the same salt reproduces the run bit-for-bit on
+    any engine or cluster size.
+
+    Scale shape: NO range exchange (a naive ``ORDER BY hash`` is a
+    global sort — the thing to avoid at 100 TB); rows hash-partition
+    by shard and each shard sorts independently inside its partition.
+    The md5 math is hash-uniform, so shards are skew-free by
+    construction.  Ties in the 32-bit hash break on the key —
+    total order, fully deterministic, exactly reproducible in the
+    DuckDB oracle (same md5 → same ranks)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = hash_long(key_col, salt=salt)
+    out = df.withColumn("_h", h).withColumn(
+        shard_col, F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_h")

@@ -74,3 +74,55 @@ def test_bad_inputs_rejected(spark, pop):
         stratified_sample(pop, {"0": -0.1}, key_col="k", stratum_col="grp")
     with pytest.raises(ValueError):
         hash_split(pop, {"a": 0.5, "b": 0.2}, key_col="k")
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark, pop):
+    from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+    a = shuffle_shards(pop, key_col="k", n_shards=8, salt="e1")
+    b = shuffle_shards(
+        pop.repartition(17), key_col="k", n_shards=8, salt="e1"
+    )
+    ka = [(r["shard"], r["pos"], r["k"]) for r in a.collect()]
+    kb = [(r["shard"], r["pos"], r["k"]) for r in b.collect()]
+    assert sorted(ka) == sorted(kb)
+    # per shard: pos is exactly 1..count (a total order, no gaps/ties)
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s, p, _ in ka:
+        by_shard[s].append(p)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # hash-uniform shards: no shard more than 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * (sum(sizes) / len(sizes))
+
+
+def test_shuffle_shards_new_salt_new_order(spark, pop):
+    from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+    e1 = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(pop, key_col="k", n_shards=8, salt="e1").collect()
+    }
+    e2 = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(pop, key_col="k", n_shards=8, salt="e2").collect()
+    }
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 0.9 * len(e1)  # a new epoch is a genuinely new order
+
+
+def test_shuffle_shards_plan_has_no_global_sort(spark, pop):
+    """The scale property: shard-local ranking, never a range exchange
+    (a global ORDER BY hash would show rangepartitioning in the plan)."""
+    from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+    plan = (
+        shuffle_shards(pop, key_col="k", n_shards=8, salt="e1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
