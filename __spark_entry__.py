@@ -264,6 +264,18 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: per-doc bigram-LM perplexity
+    (add-α smoothed, LM self-trained on the corpus) + keep flag.
+    One bigram explode trains the counts; scoring joins the doc-bigram
+    stream back against them; no UDFs (operators/lm.py).  DuckDB runs
+    the identical count/ln/exp math, so the gate value-checks the
+    scores."""
+    from investigraph_etl_spark.operators.lm import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from investigraph_etl_spark.operators.textstats import (
         bpe_ish_token_count,
@@ -949,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "repetition_signals": q_repetition_signals,
+        "lm_perplexity": q_lm_perplexity,
         "corpus_percentiles": q_corpus_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_span_pairs": q_winnow_span_pairs,
@@ -1228,6 +1241,39 @@ def oracle_sql() -> dict[str, str]:
                     AND ROUND(COALESCE(top_bigram / n_bigrams, 0), 4) <= 0.18)
                        AS rep_keep
             FROM d
+        """,
+        "lm_perplexity": """
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w != '') AS w
+              FROM documents
+            ), oi AS (
+              SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+              FROM ws WHERE len(w) >= 2
+            ), o AS (
+              SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM oi
+            ), cb AS (
+              SELECT w1, w2, COUNT(*) AS cb FROM o GROUP BY 1, 2
+            ), cu AS (
+              SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1
+            ), v AS (
+              SELECT COUNT(DISTINCT wd) AS vs
+              FROM (SELECT unnest(w) AS wd FROM ws)
+            ), sc AS (
+              SELECT o.doc_id,
+                     ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.vs)) AS logp
+              FROM o
+              JOIN cb USING (w1, w2)
+              JOIN cu USING (w1)
+              CROSS JOIN v
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   ROUND(SUM(logp) / COUNT(*), 4) AS avg_logp,
+                   ROUND(exp(-(SUM(logp) / COUNT(*))), 3) AS ppl,
+                   ROUND(exp(-(SUM(logp) / COUNT(*))), 3) <= 2000.0 AS ppl_keep
+            FROM sc GROUP BY doc_id
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -74,6 +74,7 @@ HEADLINE = [
     "decontaminate",
     "repetition_signals",
     "corpus_percentiles",
+    "lm_perplexity",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
@@ -582,6 +583,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     cold, warm = run_headline(sf_dir, cores)
+
+    # harness-sanity mode: headline phase only, NO BENCH.md/_FULL.json
+    # rewrite (a partial run must never clobber the published full-run
+    # numbers).  Used by the verify loop; the driver never sets it.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        print(json.dumps({
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(warm.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in warm.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cores": cores,
+        }))
+        return
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     log_dir = f"{work}/changelog"
