@@ -276,6 +276,21 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich ACL'16): distributed word-count
+    pass collapses the corpus to a vocabulary-bounded table; the greedy
+    merge loop runs locally over it with a pair->words index
+    (operators/bpe.py).  Iterative => no SQL oracle (rows-only gate
+    row, like the other declared-approximate ops); the merge sequence
+    is pinned against an independent naive implementation of the
+    paper's algorithm in tests/test_bpe.py."""
+    from investigraph_etl_spark.operators.bpe import train_bpe
+
+    return train_bpe(
+        _t(spark, sf_dir, "documents"), num_merges=150, min_pair_count=2
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from investigraph_etl_spark.operators.textstats import (
         bpe_ish_token_count,
@@ -962,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "repetition_signals": q_repetition_signals,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_train": q_bpe_train,
         "corpus_percentiles": q_corpus_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_span_pairs": q_winnow_span_pairs,

@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_signals",
     "corpus_percentiles",
     "lm_perplexity",
+    "bpe_train",
 ]
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
