@@ -561,6 +561,23 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture (XLM/T5 exponentiated-count
+    sampling, T=2): per-source keep fractions n^(1/T-1)/max, applied as
+    the deterministic md5 filter — one tiny count agg + broadcast join,
+    the corpus never shuffles (operators/sampling.py).  DuckDB runs the
+    identical pow/md5 math, so membership AND keep fractions are
+    value-checked."""
+    from investigraph_etl_spark.operators.sampling import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mixture_resample(
+        docs, key_col="doc_id", domain_col="lang",
+        temperature=2.0, salt="mix",
+    )
+    return out.select("doc_id", "lang", "keep_frac")
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (training-order pass): shard =
     md5-hash(key∥salt) % 8, pos = rank within shard by (hash, key).
@@ -1000,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "shuffle_shards": q_shuffle_shards,
+        "mixture_resample": q_mixture_resample,
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
         "lake_point_lookup": q_lake_point_lookup,
@@ -1454,6 +1472,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN p ON c.user_id = p.user_id
                          AND c.ts >= p.win_start AND c.ts < p.win_end
             GROUP BY 1, 2
+        """,
+        "mixture_resample": """
+            WITH k AS (
+              SELECT lang,
+                     pow(COUNT(*), 1.0/2.0 - 1)
+                       / MAX(pow(COUNT(*), 1.0/2.0 - 1)) OVER () AS keep
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, ROUND(k.keep, 6) AS keep_frac
+            FROM documents d JOIN k USING (lang)
+            WHERE CAST(('0x'||substr(md5(d.doc_id||'mix'),1,8)) AS BIGINT)
+                    / 4294967296.0 < k.keep
         """,
         "shuffle_shards": """
             WITH h AS (

@@ -70,6 +70,7 @@ HEADLINE = [
     "dup_clusters",
     "stratified_sample",
     "shuffle_shards",
+    "mixture_resample",
     "range_join",
     "decontaminate",
     "repetition_signals",

@@ -107,6 +107,56 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_resample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    domain_col: str,
+    temperature: float,
+    salt: str = "",
+    keep_col: str = "keep_frac",
+) -> DataFrame:
+    """Temperature-scaled domain mixture resampling — the data-mixing
+    stage multilingual / multi-domain training corpora go through
+    (exponentiated-count sampling: Lample & Conneau XLM '19 §3.1,
+    Raffel et al. T5 '20 §3.4.1): target domain shares ∝ n_d^(1/T),
+    so T > 1 flattens the mixture toward uniform (upweights small
+    domains) and T = 1 keeps natural proportions.
+
+    Downsample-only formulation (no row duplication): keep fraction
+    ``keep_d = n_d^(1/T−1) / max_d' n_d'^(1/T−1)`` — the most-boosted
+    domain keeps everything, every other domain thins toward the
+    target shape.  Rows pass the same deterministic
+    :func:`hash_uniform` filter as every sampler here, so the result
+    is reproducible, engine-portable (exact DuckDB oracle), and
+    retunes to a new T without re-materializing upstream.
+
+    Scale shape: ONE count agg (map-side combine, |domains| rows) →
+    broadcast keep-fraction table → narrow filter; the corpus itself
+    never crosses a shuffle.  Rows with a NULL domain are dropped
+    (equi-join semantics, same in the oracle).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    expo = 1.0 / temperature - 1.0
+    w = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(domain_col, F.pow(F.col("_n"), F.lit(expo)).alias("_w"))
+    )
+    wmax = w.agg(F.max("_w").alias("_wmax"))
+    keep = (
+        w.crossJoin(F.broadcast(wmax))
+        .select(domain_col, (F.col("_w") / F.col("_wmax")).alias("_keep"))
+    )
+    return (
+        df.join(F.broadcast(keep), on=domain_col)
+        .where(hash_uniform(key_col, salt=salt) < F.col("_keep"))
+        .withColumn(keep_col, F.round(F.col("_keep"), 6))
+        .drop("_keep")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     *,

@@ -126,3 +126,46 @@ def test_shuffle_shards_plan_has_no_global_sort(spark, pop):
     )
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning" in plan.lower()
+
+
+def test_mixture_resample_temperature_math(spark):
+    from investigraph_etl_spark.operators.sampling import mixture_resample
+
+    rows = [(f"a{i}", "big") for i in range(3200)] + [
+        (f"b{i}", "small") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    out = mixture_resample(
+        df, key_col="k", domain_col="dom", temperature=2.0
+    )
+    got = {
+        (r["dom"], r["keep_frac"]) for r in out.select("dom", "keep_frac").distinct().collect()
+    }
+    # keep_d = n_d^(1/T-1) / max  with T=2: big -> (3200^-.5)/(200^-.5) = 1/4
+    assert got == {("small", 1.0), ("big", 0.25)}
+    kept = {r["dom"]: r["cnt"] for r in out.groupBy("dom").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["small"] == 200  # most-boosted domain keeps everything
+    assert abs(kept["big"] - 800) < 120  # ~n*keep, hash-uniform tolerance
+
+
+def test_mixture_resample_t1_is_identity(spark, pop):
+    from investigraph_etl_spark.operators.sampling import mixture_resample
+
+    out = mixture_resample(pop, key_col="k", domain_col="grp", temperature=1.0)
+    assert out.count() == pop.count()
+    assert {r["keep_frac"] for r in out.select("keep_frac").distinct().collect()} == {1.0}
+
+
+def test_mixture_resample_deterministic_and_partition_invariant(spark, pop):
+    from investigraph_etl_spark.operators.sampling import mixture_resample
+
+    a = {r["k"] for r in mixture_resample(pop, key_col="k", domain_col="grp", temperature=3.0).collect()}
+    b = {r["k"] for r in mixture_resample(pop.repartition(11), key_col="k", domain_col="grp", temperature=3.0).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_mixture_resample_bad_temperature(spark, pop):
+    from investigraph_etl_spark.operators.sampling import mixture_resample
+
+    with pytest.raises(ValueError):
+        mixture_resample(pop, key_col="k", domain_col="grp", temperature=0.0)
