@@ -777,6 +777,75 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup detection via the incrementally maintained
+    MinHash index (operators/minhash_index.py): derive the same
+    deterministic two-commit changelog as ``cdc_replay_lake`` (inserts,
+    then updates+deletes), refresh the index AFTER EACH commit from the
+    net change feed (delete tombstones + updated bands fold in — never
+    a corpus rescan), then probe every live doc_id%10==0 doc's final
+    tokens as a new document: each must LSH-collide with its indexed
+    original on all 8 bands.  Band hashes are xxhash64 ⇒ no SQL oracle
+    (rows-only, like the one-shot minhash_lsh); incremental-vs-rebuild
+    parity, catch-up, tombstones and probe semantics are pinned in
+    tests/test_minhash_index.py."""
+    import tempfile
+
+    from investigraph_etl_spark.operators.minhash_index import MinHashIndex
+    from investigraph_etl_spark.sources.lake import HashLakeTable
+    from investigraph_etl_spark.streaming.tailer import replay_batch, target_schema
+
+    d = _t(spark, sf_dir, "documents")
+
+    def toks(col):
+        return F.transform(F.split(col, ""), lambda c: F.ascii(c))
+
+    def part(seq, op, tokens, source):
+        return [
+            seq.cast("long").alias("event_sequence"),
+            F.lit(op).alias("op"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            tokens.cast("array<int>").alias("tokens"),
+            source.cast("string").alias("source"),
+        ]
+
+    did = F.col("doc_id")
+    inserts = d.select(
+        *part(did * 3 + 1, "upsert", toks(F.substring("text", 1, 48)), F.col("source"))
+    )
+    updates = (
+        d.filter(did % 5 < 2)
+        .select(
+            *part(did * 3 + 2, "upsert",
+                  toks(F.upper(F.substring("text", 1, 32))), F.lit("editor"))
+        )
+        .unionByName(
+            d.filter(did % 7 == 0).select(
+                *part(did * 3 + 3, "delete", F.lit(None), F.lit(None))
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="mhidx_entry_")
+    lake = HashLakeTable.create(
+        spark, f"{tmp}/lake", target_schema(), num_buckets=8
+    )
+    idx = MinHashIndex(
+        spark, f"{tmp}/idx", content_col="tokens", mode="tokens", num_buckets=4
+    )
+    replay_batch(inserts, lake, batch_id=0)
+    idx.refresh(lake)
+    replay_batch(updates, lake, batch_id=1)
+    idx.refresh(lake)
+    probe = (
+        lake.read()
+        .filter(F.col("doc_id").cast("long") % 10 == 0)
+        .select(
+            F.concat(F.lit("p"), F.col("doc_id")).alias("doc_id"), "tokens"
+        )
+    )
+    return idx.probe(probe)
+
+
 def q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine end-to-end, VALUE-checked (round-3, VERDICT r2
     item 3): derive a deterministic changelog from the registered
@@ -995,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "lm_perplexity": q_lm_perplexity,
         "bpe_train": q_bpe_train,
+        "minhash_index": q_minhash_index,
         "corpus_percentiles": q_corpus_percentiles,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_span_pairs": q_winnow_span_pairs,

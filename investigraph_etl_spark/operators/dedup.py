@@ -275,6 +275,17 @@ def minhash_signatures(
     sh = shingle_rows(
         fan_out(df), n=n, text_col=text_col, id_col=id_col
     ).select(F.col(id_col).alias("id"), "shingle")
+    return minhash_signatures_from_shingles(
+        sh, num_hashes=num_hashes, seed=seed
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, *, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """The signature aggregation over prebuilt ``(id, shingle)`` rows —
+    shared by :func:`minhash_signatures` (word shingles) and the
+    incremental index (token n-grams, minhash_index.py)."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
         for i in range(num_hashes)

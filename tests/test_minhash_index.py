@@ -1,0 +1,171 @@
+"""Incrementally maintained MinHash-LSH index (operators/minhash_index.py):
+feed-fold parity with a fresh rebuild, idempotent replay, multi-commit
+catch-up, delete/contentless invisibility, probe semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from investigraph_etl_spark.operators.minhash_index import MinHashIndex
+from investigraph_etl_spark.sources.lake import HashLakeTable
+from investigraph_etl_spark.streaming.tailer import (
+    change_schema,
+    prepare_batch,
+    target_schema,
+)
+
+T0 = pd.to_datetime(0, unit="s")
+
+
+def _commit(spark, lake, batch_id, rows):
+    """rows: list of (seq, op, doc_id, tokens)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_sequence": seq,
+                "op": op,
+                "doc_id": d,
+                "tokens": toks,
+                "n_tok": len(toks) if toks is not None else None,
+                "source": "s",
+                "event_time": T0,
+            }
+            for seq, op, d, toks in rows
+        ]
+    )
+    lake.merge(prepare_batch(spark.createDataFrame(pdf, change_schema())), batch_id)
+
+
+TOK_A = list(range(0, 40))
+TOK_B = list(range(100, 140))
+TOK_C = list(range(200, 240))
+TOK_B2 = list(range(300, 340))
+TOK_D = list(range(400, 440))
+TOK_E = list(range(500, 540))
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    lake = HashLakeTable.create(
+        spark, str(tmp_path / "src"), target_schema(), num_buckets=8
+    )
+    _commit(
+        spark, lake, 0,
+        [(1, "insert", "A", TOK_A), (2, "insert", "B", TOK_B),
+         (3, "insert", "C", TOK_C)],
+    )
+    return lake
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return MinHashIndex(
+        spark, str(tmp_path / "idx"), content_col="tokens", mode="tokens",
+        num_buckets=4,
+    )
+
+
+def _index_state(index):
+    return {
+        r["doc_id"]: tuple(r["band_hashes"]) if r["band_hashes"] else None
+        for r in index.table.read().collect()
+    }
+
+
+def _fresh_bands(index, source):
+    live = source.read().select("doc_id", "tokens")
+    return {
+        r["id"]: tuple(r["band_hashes"])
+        for r in index.band_hashes(live).collect()
+    }
+
+
+def test_refresh_parity_catchup_and_deletes(spark, source, index):
+    index.refresh(source)
+    assert _index_state(index) == _fresh_bands(index, source)
+    # two more commits WITHOUT intermediate refreshes: update B,
+    # delete C, insert D, then insert E — one refresh catches up
+    _commit(
+        spark, source, 1,
+        [(4, "update", "B", TOK_B2), (5, "delete", "C", None),
+         (6, "insert", "D", TOK_D)],
+    )
+    _commit(spark, source, 2, [(7, "insert", "E", TOK_E)])
+    st = index.refresh(source)
+    assert not st["skipped"]
+    got = _index_state(index)
+    assert got == _fresh_bands(index, source)
+    assert set(got) == {"A", "B", "D", "E"}  # C's tombstone holds
+
+
+def test_refresh_idempotent(spark, source, index):
+    index.refresh(source)
+    v = index.version
+    again = index.refresh(source)
+    assert again["skipped"] and index.version == v
+
+
+def test_probe_finds_dup_and_misses_unrelated(spark, source, index):
+    index.refresh(source)
+    batch = spark.createDataFrame(
+        [("NEW_A", TOK_A), ("NEW_X", list(range(900, 940)))],
+        "doc_id string, tokens array<int>",
+    )
+    pairs = {
+        (r["id_new"], r["id_indexed"]): r["n_bands"]
+        for r in index.probe(batch).collect()
+    }
+    assert pairs.get(("NEW_A", "A")) == index.bands  # identical: all bands
+    assert not any(k[0] == "NEW_X" for k in pairs)
+
+
+def test_probe_excludes_self(spark, source, index):
+    index.refresh(source)
+    own = source.read().select("doc_id", "tokens")
+    assert index.probe(own).where("id_new = id_indexed").count() == 0
+
+
+def test_update_to_contentless_goes_probe_invisible(spark, source, index):
+    index.refresh(source)
+    _commit(spark, source, 1, [(10, "update", "A", [])])
+    index.refresh(source)
+    assert _index_state(index)["A"] is None
+    probe_old_a = spark.createDataFrame(
+        [("NEW_A", TOK_A)], "doc_id string, tokens array<int>"
+    )
+    assert index.probe(probe_old_a).count() == 0
+
+
+def test_text_mode_matches_lsh_banding_semantics(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            ("x", "the quick brown fox jumps over the lazy dog"),
+            ("y", "the quick brown fox jumps over the lazy cat"),
+            ("z", "completely unrelated content about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    lake = HashLakeTable.create(
+        spark, str(tmp_path / "tsrc"),
+        docs.schema, key="doc_id", num_buckets=4,
+    )
+    batch = docs.selectExpr(
+        "doc_id", "text",
+        "monotonically_increasing_id() + 1 AS event_sequence",
+        "'insert' AS op",
+    )
+    lake.merge(batch, 0)
+    idx = MinHashIndex(
+        spark, str(tmp_path / "tidx"), content_col="text", mode="text",
+        num_buckets=4,
+    )
+    idx.refresh(lake)
+    probe = spark.createDataFrame(
+        [("q", "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_new"], r["id_indexed"]) for r in idx.probe(probe).collect()
+    }
+    assert ("q", "x") in pairs and ("q", "z") not in pairs
