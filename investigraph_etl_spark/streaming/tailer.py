@@ -158,10 +158,13 @@ def tail_changelog(
     in-batch LWW reduce costs more than the duplicate bytes it saves
     on low-dup micro-batches, and async compaction overlaps the next
     commits; see sources/lake.py).  Defaults stay conservative.
-    ``derived`` — ``DerivedAggTable`` materialized views refreshed
-    after every batch's merge (operators/incremental.py): each keeps
-    its own lake-version pointer, so replayed batches are no-ops and
-    a view that missed batches catches up over the widened feed.
+    ``derived`` — change-feed consumers refreshed after every batch's
+    merge: anything with ``refresh(lake)`` keyed to the lake version —
+    ``DerivedAggTable`` materialized views (operators/incremental.py)
+    and ``MinHashIndex`` dedup indexes (operators/minhash_index.py).
+    Each keeps its own lake-version pointer, so replayed batches are
+    no-ops and a consumer that missed batches catches up over the
+    widened feed.
     With ``compact_mode="async"``, call ``lake.wait_for_compaction()``
     after the query terminates to land any inflight fold (state is
     correct either way; the unharvested output is merely orphaned and

@@ -169,3 +169,39 @@ def test_text_mode_matches_lsh_banding_semantics(spark, tmp_path):
         (r["id_new"], r["id_indexed"]) for r in idx.probe(probe).collect()
     }
     assert ("q", "x") in pairs and ("q", "z") not in pairs
+
+
+def test_streaming_tailer_maintains_index(spark, tmp_path):
+    """End-to-end product surface: the Structured Streaming tailer
+    keeps the index current via the derived= hook (duck-typed
+    refresh(lake)), and the drained index equals a fresh rebuild."""
+    from investigraph_etl_spark.changelog import write_changelog
+    from investigraph_etl_spark.streaming.tailer import tail_changelog
+
+    log = str(tmp_path / "log")
+    write_changelog(log, 2000, chunk_size=250, seed=13, n_docs=150,
+                    shuffle_window=40)
+    lake = HashLakeTable.create(
+        spark, str(tmp_path / "slake"), target_schema(), num_buckets=8
+    )
+    idx = MinHashIndex(
+        spark, str(tmp_path / "sidx"), content_col="tokens", mode="tokens",
+        num_buckets=4,
+    )
+    q = tail_changelog(
+        spark, log, lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, derived=[idx],
+    )
+    q.awaitTermination(300)
+    assert idx.version == lake.version
+    assert _index_state(idx) == _fresh_bands(idx, lake)
+    # a live doc's own tokens probe back to it on every band
+    row = lake.read().limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [("probe_doc", row["tokens"])], "doc_id string, tokens array<int>"
+    )
+    hits = {
+        (r["id_new"], r["id_indexed"]): r["n_bands"]
+        for r in idx.probe(probe).collect()
+    }
+    assert hits.get(("probe_doc", row["doc_id"])) == idx.bands
