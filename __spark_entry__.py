@@ -528,6 +528,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's last mile, composed from two oracle-checked
+    operators: pack the corpus into 256-token training sequences
+    (pack_sequences), then assign every sequence a reproducible epoch
+    position (shuffle_shards over the sequence key) — the exact
+    pack-then-shuffle pass that materializes training shards.  Still
+    ZERO global sort: pack is window math per source shard, the epoch
+    order is shard-local ranking.  DuckDB reproduces the whole
+    composition (window cumsum + md5 ranks), value-checked."""
+    from investigraph_etl_spark.operators.packing import pack_sequences
+    from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("tokens"),
+        F.length("text").alias("n_tok"),
+    )
+    spans = pack_sequences(docs, max_len=256, shard_col="source")
+    seqs = (
+        spans.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum(F.col("tok_end") - F.col("tok_start")).alias("seq_tok"),
+        )
+        .select(
+            F.concat_ws(":", "shard", "seq_id").alias("seq_key"),
+            "n_pieces",
+            "seq_tok",
+        )
+    )
+    return shuffle_shards(seqs, key_col="seq_key", n_shards=8, salt="ep1")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (operator Spark lacks natively — naive
     theta join degenerates to BroadcastNestedLoop): clicks attributed
@@ -1088,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shuffle_shards": q_shuffle_shards,
         "mixture_resample": q_mixture_resample,
+        "training_shards": q_training_shards,
         "range_join": q_range_join,
         "decontaminate": q_decontaminate,
         "lake_point_lookup": q_lake_point_lookup,
@@ -1554,6 +1589,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN k USING (lang)
             WHERE CAST(('0x'||substr(md5(d.doc_id||'mix'),1,8)) AS BIGINT)
                     / 4294967296.0 < k.keep
+        """,
+        "training_shards": """
+            WITH toks AS (
+              SELECT source, doc_id,
+                     length(text) AS n_tok
+              FROM documents WHERE length(text) > 0
+            ), d AS (
+              SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM toks
+            ), spans AS (
+              SELECT source AS shard, CAST(b AS BIGINT) AS seq_id,
+                     CAST(LEAST((b+1)*256 - off, n_tok) AS BIGINT)
+                       - CAST(GREATEST(b*256 - off, 0) AS BIGINT) AS piece_len
+              FROM d CROSS JOIN UNNEST(generate_series(
+                       CAST(FLOOR(off/256.0) AS BIGINT),
+                       CAST(FLOOR((off+n_tok-1)/256.0) AS BIGINT))) AS t(b)
+            ), seqs AS (
+              SELECT shard || ':' || CAST(seq_id AS VARCHAR) AS seq_key,
+                     COUNT(*) AS n_pieces,
+                     CAST(SUM(piece_len) AS BIGINT) AS seq_tok
+              FROM spans GROUP BY shard, seq_id
+            ), h AS (
+              SELECT *,
+                CAST(('0x'||substr(md5(seq_key||'ep1'),1,8)) AS BIGINT) AS hv
+              FROM seqs
+            )
+            SELECT seq_key, n_pieces, seq_tok,
+                   CAST(hv % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+                                           ORDER BY hv, seq_key) AS INT) AS pos
+            FROM h
         """,
         "shuffle_shards": """
             WITH h AS (

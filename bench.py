@@ -71,6 +71,7 @@ HEADLINE = [
     "stratified_sample",
     "shuffle_shards",
     "mixture_resample",
+    "training_shards",
     "range_join",
     "decontaminate",
     "repetition_signals",
