@@ -178,12 +178,26 @@ class MinHashIndex:
         )
 
     # ------------------------------------------------------------ probe
-    def probe(self, batch: DataFrame) -> DataFrame:
+    def probe(
+        self,
+        batch: DataFrame,
+        *,
+        verify_with: DataFrame | None = None,
+        threshold: float = 0.5,
+    ) -> DataFrame:
         """LSH candidates between ``batch`` docs and the indexed corpus:
         ``(id_new, id_indexed, n_bands)``.  The batch's band rows
         broadcast; the index scan is probed in place (zero index
         shuffle).  Self-matches (same id) are excluded so a batch may
-        be probed after its own merge."""
+        be probed after its own merge.
+
+        ``verify_with`` (the indexed docs' content — typically
+        ``source_lake.read()``) upgrades candidates to EXACT verified
+        pairs with a ``jaccard`` column filtered at ``threshold`` —
+        the same precision-1.0 contract as the one-shot
+        ``lsh_near_dup_pairs``.  Scale shape: the candidate id sets are
+        LSH-small by construction, so both shingle recomputations are
+        semi-join-restricted to them (broadcast), never corpus-wide."""
         r_new = self.band_hashes(batch).select(
             F.col("id").alias("id_new"),
             F.posexplode("band_hashes").alias("band_ix", "h"),
@@ -192,9 +206,52 @@ class MinHashIndex:
             F.col(self.key).alias("id_indexed"),
             F.posexplode("band_hashes").alias("band_ix", "h"),
         )
-        return (
+        cands = (
             r_idx.join(F.broadcast(r_new), ["band_ix", "h"])
             .where(F.col("id_new") != F.col("id_indexed"))
             .groupBy("id_new", "id_indexed")
             .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+        if verify_with is None:
+            return cands
+        sh_new = self._shingles(
+            batch.join(
+                F.broadcast(
+                    cands.select(F.col("id_new").alias(self.key)).distinct()
+                ),
+                self.key,
+                "left_semi",
+            )
+        ).select(F.col("id").alias("id_new"), "shingle")
+        sh_idx = self._shingles(
+            verify_with.join(
+                F.broadcast(
+                    cands.select(F.col("id_indexed").alias(self.key)).distinct()
+                ),
+                self.key,
+                "left_semi",
+            )
+        ).select(F.col("id").alias("id_indexed"), "shingle")
+        n_new = sh_new.groupBy("id_new").agg(F.count(F.lit(1)).alias("_na"))
+        n_idx = sh_idx.groupBy("id_indexed").agg(F.count(F.lit(1)).alias("_nb"))
+        inter = (
+            sh_new.join(sh_idx, "shingle")
+            .groupBy("id_new", "id_indexed")
+            .agg(F.count(F.lit(1)).alias("_ni"))
+        )
+        return (
+            cands.join(inter, ["id_new", "id_indexed"], "left")
+            .join(n_new, "id_new")
+            .join(n_idx, "id_indexed")
+            .select(
+                "id_new",
+                "id_indexed",
+                "n_bands",
+                F.round(
+                    F.coalesce(F.col("_ni"), F.lit(0))
+                    / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_ni"), F.lit(0))),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= F.lit(threshold))
         )

@@ -205,3 +205,41 @@ def test_streaming_tailer_maintains_index(spark, tmp_path):
         for r in idx.probe(probe).collect()
     }
     assert hits.get(("probe_doc", row["doc_id"])) == idx.bands
+
+
+def test_probe_verified_exact_jaccard(spark, source, index):
+    """verify_with upgrades candidates to exact verified pairs: an
+    identical doc scores jaccard 1.0; a partial overlap matches the
+    python-computed token-shingle jaccard and threshold-filters."""
+    index.refresh(source)
+    half = TOK_A[:20] + list(range(700, 720))  # shares half of A's stream
+    batch = spark.createDataFrame(
+        [("SAME_A", TOK_A), ("HALF_A", half)],
+        "doc_id string, tokens array<int>",
+    )
+
+    def py_shingles(toks, n=3):
+        if len(toks) < n:
+            return {" ".join(map(str, toks))}
+        return {" ".join(map(str, toks[i:i + n])) for i in range(len(toks) - n + 1)}
+
+    a, h = py_shingles(TOK_A), py_shingles(half)
+    expect_half = round(len(a & h) / len(a | h), 6)
+
+    verified = {
+        (r["id_new"], r["id_indexed"]): r["jaccard"]
+        for r in index.probe(
+            batch, verify_with=source.read(), threshold=0.1
+        ).collect()
+    }
+    assert verified[("SAME_A", "A")] == 1.0
+    if ("HALF_A", "A") in verified:  # only if LSH banding surfaced it
+        assert verified[("HALF_A", "A")] == expect_half
+    # tight threshold drops the partial pair but keeps the exact one
+    tight = {
+        (r["id_new"], r["id_indexed"])
+        for r in index.probe(
+            batch, verify_with=source.read(), threshold=0.99
+        ).collect()
+    }
+    assert tight == {("SAME_A", "A")}
