@@ -25,6 +25,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.sql import functions as F
+
 from investigraph_etl_spark.session import get_spark
 from investigraph_etl_spark.sources.lake import HashLakeTable
 from investigraph_etl_spark.streaming.tailer import (
@@ -74,6 +76,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--max-files-per-trigger", type=int, default=16)
     p.add_argument("--metrics", help="metrics JSONL path")
+    p.add_argument(
+        "--pack", type=int, default=None, metavar="MAX_LEN",
+        help="export: pack token streams into MAX_LEN training "
+        "sequences (concat-then-chop per source shard) and write one "
+        "row per packed sequence instead of raw table rows",
+    )
+    p.add_argument(
+        "--shards", type=int, default=None, metavar="N",
+        help="export with --pack: assign each packed sequence a "
+        "reproducible epoch position over N shards (md5 epoch "
+        "shuffle, no global sort); output partitioned by shard",
+    )
+    p.add_argument(
+        "--epoch-salt", default="ep0",
+        help="epoch identity for --shards (a new salt is a new "
+        "reproducible order)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("investigraph_etl_spark", master=args.master)
@@ -131,10 +150,39 @@ def main(argv: list[str] | None = None) -> None:
         q.awaitTermination()
     elif args.command == "export":
         df = lake.read(version=args.version)
-        df.write.mode("overwrite").parquet(args.out)
+        if args.pack:
+            # lake → assembled training sequences; with --shards, each
+            # sequence additionally gets its reproducible epoch
+            # position and the output is partitioned by shard so a
+            # trainer streams shard dirs in (shard, pos) order — the
+            # product surface of the training_shards composition
+            # (operators/packing.py + operators/sampling.py)
+            from investigraph_etl_spark.operators.packing import pack_sequences
+            from investigraph_etl_spark.operators.sampling import shuffle_shards
+
+            df = pack_sequences(df, max_len=args.pack, assemble=True)
+            if args.shards:
+                df = shuffle_shards(
+                    df.withColumn(
+                        "seq_key", F.concat_ws(":", "shard", "seq_id")
+                    ),
+                    key_col="seq_key",
+                    n_shards=args.shards,
+                    salt=args.epoch_salt,
+                    shard_col="epoch_shard",
+                    pos_col="epoch_pos",
+                )
+                df.write.mode("overwrite").partitionBy("epoch_shard").parquet(
+                    args.out
+                )
+            else:
+                df.write.mode("overwrite").parquet(args.out)
+        else:
+            df.write.mode("overwrite").parquet(args.out)
         print(
             json.dumps(
-                {"rows": df.count(), "out": args.out, "version": args.version}
+                {"rows": df.count(), "out": args.out, "version": args.version,
+                 "packed": bool(args.pack), "epoch_shards": args.shards}
             )
         )
     elif args.command == "lookup":

@@ -243,3 +243,42 @@ def test_skew_heavy_replay(spark, tmp_path):
     sdf = spark.createDataFrame(events, schema=change_schema())
     lake.merge(prepare_batch(sdf), 0, salt_buckets=8)
     assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+
+
+def test_cli_export_packed_training_shards(spark, tmp_path):
+    """export --pack N --shards K: the lake's live state materialized
+    as assembled training sequences with reproducible epoch positions,
+    partitioned by epoch shard — lossless (total tokens preserved) and
+    every non-final sequence exactly N tokens."""
+    from investigraph_etl_spark.changelog import write_changelog
+    from investigraph_etl_spark.run import main
+
+    log = str(tmp_path / "log")
+    write_changelog(log, 1500, chunk_size=500, seed=23, n_docs=120)
+    main(["replay", "--changelog", log, "--lake", str(tmp_path / "lake"),
+          "--num-buckets", "8"])
+    out = str(tmp_path / "packed")
+    main(["export", "--lake", str(tmp_path / "lake"), "--out", out,
+          "--pack", "128", "--shards", "4", "--epoch-salt", "e1",
+          "--num-buckets", "8"])
+    got = spark.read.parquet(out)
+    assert {"shard", "seq_id", "seq_tokens", "seq_len", "n_docs",
+            "seq_key", "epoch_shard", "epoch_pos"} <= set(got.columns)
+    import pyspark.sql.functions as F
+
+    from investigraph_etl_spark.sources.lake import HashLakeTable
+
+    lake = HashLakeTable(spark, str(tmp_path / "lake"))
+    want_tok = lake.read().agg(F.sum("n_tok")).collect()[0][0]
+    assert got.agg(F.sum("seq_len")).collect()[0][0] == want_tok
+    # at most the final sequence per source shard is under 128 tokens
+    bad = got.where("seq_len != 128").groupBy("shard").count()
+    assert all(r["count"] == 1 for r in bad.collect())
+    # epoch shards partition the sequences: pos is 1..count per shard
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in got.select("epoch_shard", "epoch_pos").collect():
+        by[r["epoch_shard"]].append(r["epoch_pos"])
+    for poss in by.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
