@@ -761,6 +761,14 @@ def main() -> None:
         "sf": result["sf"],
         "cores": cores,
         "cdc_efficiency": efficiency,
+        # measurement-quality stats (value-blind): per-level max/min rep
+        # spread of the published pair; >2.0 means the published run is
+        # itself steal-contaminated (the one permitted validity re-run
+        # was spent) — see BENCH.md for the full samples
+        "cdc_rep_spread_by_level": {
+            str(r["cores"]): round(max(r["times"]) / min(r["times"]), 2)
+            for r in runs
+        },
         "cdc_speedup": speedup,
         "cdc_best_events_per_sec": cdc["best_events_per_sec"],
         "cdc_incremental_events_per_sec": inc["events_per_sec"],
