@@ -243,3 +243,68 @@ def test_probe_verified_exact_jaccard(spark, source, index):
         ).collect()
     }
     assert tight == {("SAME_A", "A")}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def index_cases(draw):
+    seed = draw(st.integers(0, 2**16))
+    n_events = draw(st.integers(150, 800))
+    n_docs = draw(st.integers(10, 120))
+    n_commits = draw(st.integers(1, 4))
+    # refresh after a random SUBSET of commits (always after the last:
+    # the property is about catching up, not about lagging forever)
+    cadence_seed = draw(st.integers(0, 2**16))
+    return seed, n_events, n_docs, n_commits, cadence_seed
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=index_cases())
+def test_any_stream_any_refresh_cadence_equals_rebuild(
+    spark, tmp_path_factory, case
+):
+    """Property: for ANY insert/update/delete stream split into ANY
+    commit sequence, refreshing after an arbitrary subset of commits
+    leaves the index equal to a fresh rebuild of the final live state."""
+    import numpy as np
+
+    from investigraph_etl_spark.changelog import gen_events_pandas
+    from investigraph_etl_spark.streaming.tailer import change_schema
+
+    seed, n_events, n_docs, n_commits, cadence_seed = case
+    events = gen_events_pandas(0, n_events, seed=seed, n_docs=n_docs)
+    rng = np.random.default_rng(cadence_seed)
+    cuts = (
+        sorted(rng.choice(range(1, len(events)), size=n_commits - 1,
+                          replace=False))
+        if n_commits > 1
+        else []
+    )
+    chunks = np.split(np.arange(len(events)), cuts)
+    refresh_after = {len(chunks) - 1} | {
+        i for i in range(len(chunks)) if rng.random() < 0.5
+    }
+
+    root = tmp_path_factory.mktemp("idxprop")
+    lake = HashLakeTable.create(
+        spark, str(root / "lake"), target_schema(), num_buckets=4
+    )
+    idx = MinHashIndex(
+        spark, str(root / "idx"), content_col="tokens", mode="tokens",
+        num_buckets=4,
+    )
+    for bid, rows in enumerate(chunks):
+        df = spark.createDataFrame(events.iloc[rows], schema=change_schema())
+        lake.merge(prepare_batch(df), bid)
+        if bid in refresh_after:
+            idx.refresh(lake)
+    assert idx.version == lake.version
+    assert _index_state(idx) == _fresh_bands(idx, lake)
