@@ -20,9 +20,18 @@ the measurement most likely to sit inside whatever linear regime the
 host has left.  Override with SPARK_GRAFT_SCALE_PAIR=2,8 (or 8,32),
 or read the full 1→32 sweep in BENCH.md.
 
-Prints ONE JSON line:
+Prints the compact JSON line CUMULATIVELY after every completed phase
+(the driver tail-parses the LAST line, so even a timeout mid-run leaves
+the most recent completed snapshot parseable):
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "cdc": {...}}
+   "queries": {name: sec}, "sf": ..., "cdc_efficiency": ...,
+   "phases_done": [...]}
+Phase order: scaling pair (host coldest, the north-rule number) →
+headline queries → incremental ingest → streaming tailer; the
+derived-maintenance and process-isolation studies are opt-in
+(SPARK_GRAFT_BENCH_DERIVED=1 / SPARK_GRAFT_BENCH_ISOLATION=1) since
+round 4 — they are diagnostics, not gate numbers, and their
+unconditional cost contributed to the round-3 driver timeout.
 """
 
 from __future__ import annotations
@@ -97,15 +106,14 @@ PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4").split(",")
 )
 # min-of-N reps per level: the hypervisor under this sandbox steals CPU
-# in multi-second bursts; raise reps when a run shows high rep variance.
+# in multi-second bursts; min-of-N estimates sustained capability.
 # The count is fixed A PRIORI (never extended based on the result).
-# Raised 6→10 in round 3 under that exact pre-registered trigger: the
-# r3 run's slow level measured a 1.78× within-level rep spread (47-84s
-# for the identical job), inside the 2× validity rule but clearly
-# steal-contaminated — min-of-N under one-sided stall noise improves
-# with N.  The raise is value-blind: it applies to every future run,
-# whatever number results.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "10"))
+# History: 6 (r1-r2) → 10 (r3, pre-registered spread trigger) → back to
+# 6 (r4): the 10-rep run at 2× pair events blew the DRIVER's wall-clock
+# budget (BENCH_r03.json rc=124, parsed:null — the gate lost the perf
+# signal entirely), which is strictly worse than a noisier number.
+# The change is value-blind — it fits the budget, whatever the result.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
 # sequential merge commits for the incremental-ingest measurement
 INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "16"))
 
@@ -368,8 +376,8 @@ def write_bench_md(result: dict) -> None:
     cdc = result["cdc"]
     lo, hi = cdc["runs"][0], cdc["runs"][1]
     inc = cdc["incremental"]
-    dm = cdc["derived_maintenance"]
-    iso = cdc["isolation"]
+    dm = cdc.get("derived_maintenance")
+    iso = cdc.get("isolation")
     st = cdc["streaming_tailer"]
     ex = cdc.get("executor_scaling")
     n_lo, n_hi = len(lo["times"]), len(hi["times"])
@@ -473,20 +481,24 @@ def write_bench_md(result: dict) -> None:
             + ("  — re-run once under the >1.05 validity rule" if ex.get("remeasured") else ""),
             "",
         ]
+    if iso:
+        lines += [
+            "## Process-isolation experiment (threads vs processes)",
+            "",
+            "Opt-in (SPARK_GRAFT_BENCH_ISOLATION=1).  Same replay, same",
+            "total core budget: ONE 8-thread JVM vs TWO concurrent",
+            "4-thread JVMs, each replaying the full log",
+            "(aggregate-replica throughput — the controlled",
+            "threads-vs-processes comparison backing the claim that",
+            "same-JVM thread scaling is a lower bound on executor scaling):",
+            "",
+            f"- 1 × local[8]: {iso['one_process_8_threads_events_per_sec']:,} events/s",
+            f"- 2 × local[4] concurrent: {iso['two_processes_4_threads_each_events_per_sec']:,} "
+            "events/s aggregate",
+            f"- ratio (2×4)/(1×8): **{iso['ratio_2x4_over_1x8']}**",
+            "",
+        ]
     lines += [
-        "## Process-isolation experiment (threads vs processes)",
-        "",
-        "Same replay, same total core budget: ONE 8-thread JVM vs TWO",
-        "concurrent 4-thread JVMs, each replaying the full log",
-        "(aggregate-replica throughput — the controlled",
-        "threads-vs-processes comparison backing the claim that",
-        "same-JVM thread scaling is a lower bound on executor scaling):",
-        "",
-        f"- 1 × local[8]: {iso['one_process_8_threads_events_per_sec']:,} events/s",
-        f"- 2 × local[4] concurrent: {iso['two_processes_4_threads_each_events_per_sec']:,} "
-        "events/s aggregate",
-        f"- ratio (2×4)/(1×8): **{iso['ratio_2x4_over_1x8']}**",
-        "",
         "## Sustained incremental ingest (merge-on-read)",
         "",
         f"The same {N_EVENTS:,}-event log applied as {inc['batches']} sequential",
@@ -509,8 +521,12 @@ def write_bench_md(result: dict) -> None:
         f"{inc['events_per_sec']:,} events/s sustained across "
         f"{inc['batches']} commits",
         "",
+    ]
+    if dm:
+        lines += [
         "## Materialized-view maintenance (change feed → derived aggregate)",
         "",
+        "Opt-in (SPARK_GRAFT_BENCH_DERIVED=1).",
         "The same ingest with a DerivedAggTable (source → live-row",
         "count, Σn_tok) refreshed after EVERY commit: preimage change",
         "feed from the view's version pointer to the lake head, signed",
@@ -532,6 +548,8 @@ def write_bench_md(result: dict) -> None:
         f"- per-refresh (best rep): {dm['refresh_times']} → "
         f"{dm['refresh_total']}s across {dm['batches']} refreshes",
         "",
+        ]
+    lines += [
         "## Streaming tailer (the product surface)",
         "",
         "The same log drained by the actual Structured Streaming",
@@ -604,22 +622,43 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    cold, warm = run_headline(sf_dir, cores)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # harness-sanity mode: headline phase only, NO BENCH.md/_FULL.json
     # rewrite (a partial run must never clobber the published full-run
     # numbers).  Used by the verify loop; the driver never sets it.
     if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        cold, warm = run_headline(sf_dir, cores)
         print(json.dumps({
             "metric": "headline_queries_total_sec",
             "value": round(sum(warm.values()), 3),
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in warm.items()},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
             "cores": cores,
-        }))
+        }), flush=True)
         return
+
+    # The compact stdout line is printed CUMULATIVELY after EVERY
+    # completed phase (last-line-wins for the driver's tail parse):
+    # round 2's single end-of-run line outgrew the capture window and
+    # round 3's single end-of-run line never printed at all (driver
+    # timeout, rc=124) — two rounds with no driver-visible perf number.
+    # A timeout now still leaves the last completed phase's snapshot as
+    # a parseable final line.
+    compact: dict = {
+        "metric": "headline_queries_total_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "cores": cores,
+        "phases_done": [],
+    }
+
+    def emit(phase: str) -> None:
+        compact["phases_done"] = compact["phases_done"] + [phase]
+        print(json.dumps(compact), flush=True)
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     log_dir = f"{work}/changelog"
@@ -630,9 +669,12 @@ def main() -> None:
         pair_log_dir = f"{work}/changelog_pair"
         gen_changelog(pair_log_dir, PAIR_EVENTS)
 
-    # scaling pair — fixed rep count; two pre-registered VALIDITY (not
-    # pass/fail) rules, each triggering at most ONE full re-run whose
-    # result is published unconditionally, pass or fail:
+    # PHASE 1 — scaling pair, FIRST: the host is coldest at run start
+    # (no page-cache churn or JIT-heated co-tenancy from earlier
+    # phases), and this is the one number the driver's gate has lost
+    # two rounds running.  Fixed rep count; two pre-registered VALIDITY
+    # (not pass/fail) rules, each triggering at most ONE full re-run
+    # whose result is published unconditionally, pass or fail:
     #   (a) efficiency > 1.05 — physically implausible for thread
     #       scaling (the SLOW level's reps were all hypervisor-stolen);
     #   (b) within-level rep spread max/min > 2.0 — the same job in a
@@ -656,30 +698,60 @@ def main() -> None:
             "reason": "efficiency>1.05" if efficiency > 1.05 else "rep spread>2x",
         }
         runs, speedup, efficiency = measure_scaling_pair(pair_log_dir, work)
+    compact.update({
+        "cdc_efficiency": efficiency,
+        # measurement-quality stats (value-blind): per-level max/min rep
+        # spread of the published pair; >2.0 means the published run is
+        # itself steal-contaminated (the one permitted validity re-run
+        # was spent) — see BENCH.md for the full samples
+        "cdc_rep_spread_by_level": {
+            str(r["cores"]): round(max(r["times"]) / min(r["times"]), 2)
+            for r in runs
+        },
+        "cdc_speedup": speedup,
+        "cdc_best_events_per_sec": max(r["events_per_sec"] for r in runs),
+    })
+    emit("scaling_pair")
 
-    # sustained incremental ingest (merge-on-read path): the same log
-    # as INC_BATCHES sequential merge commits into one lake — the shape
-    # the north rule actually describes (binlog tail → periodic merge)
+    # PHASE 2 — headline queries (the driver's primary metric)
+    cold, warm = run_headline(sf_dir, cores)
+    compact["value"] = round(sum(warm.values()), 3)
+    compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
+    emit("headline")
+
+    # PHASE 3 — sustained incremental ingest (merge-on-read path): the
+    # same log as INC_BATCHES sequential merge commits into one lake —
+    # the shape the north rule actually describes (binlog tail →
+    # periodic merge)
     inc = run_replay(cores, log_dir, work, 2, batches=INC_BATCHES)
+    compact["cdc_incremental_events_per_sec"] = inc["events_per_sec"]
+    emit("incremental_ingest")
 
-    # the same ingest with a materialized view refreshed after every
-    # commit (preimage change feed → signed fold into the derived
-    # aggregate; operators/incremental.py) — the marginal cost of
-    # per-commit derived-table maintenance at the real cadence
-    deriv = run_replay(
-        cores, log_dir, f"{work}/deriv", 2, batches=INC_BATCHES,
-        env={**os.environ, "SPARK_GRAFT_REPLAY_DERIVED": "1"},
-    )
-
-    # the PRODUCT surface: the same log drained by the Structured
-    # Streaming tailer (file source → checkpointed foreachBatch merge,
-    # availableNow) — includes streaming-engine overhead the direct
-    # merge loop above does not (offset tracking, per-batch planning,
-    # stream commit log)
+    # PHASE 4 — the PRODUCT surface: the same log drained by the
+    # Structured Streaming tailer (file source → checkpointed
+    # foreachBatch merge, availableNow) — includes streaming-engine
+    # overhead the direct merge loop above does not (offset tracking,
+    # per-batch planning, stream commit log)
     stream = run_replay(
         cores, log_dir, f"{work}/stream", 2, batches=INC_BATCHES,
         env={**os.environ, "SPARK_GRAFT_REPLAY_MODE": "stream"},
     )
+    compact["cdc_streaming_events_per_sec"] = stream["events_per_sec"]
+    emit("streaming_tailer")
+
+    # OPT-IN (SPARK_GRAFT_BENCH_DERIVED=1): the same ingest with a
+    # materialized view refreshed after every commit (preimage change
+    # feed → signed fold; operators/incremental.py).  Opt-in since r4:
+    # it doubles the ingest-phase cost and its result is a
+    # round-over-round diagnostic, not a gate number — the r3 driver
+    # timeout traced in part to this phase running unconditionally.
+    deriv = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DERIVED"):
+        deriv = run_replay(
+            cores, log_dir, f"{work}/deriv", 2, batches=INC_BATCHES,
+            env={**os.environ, "SPARK_GRAFT_REPLAY_DERIVED": "1"},
+        )
+        emit("derived_maintenance")
 
     # opt-in study (SPARK_GRAFT_EXEC_SCALING=1): 1 vs 4 separate
     # fixed-size JVMs over a key-pre-split log.  Not the default
@@ -687,18 +759,24 @@ def main() -> None:
     # share a single memory bus / disk / page cache that real cluster
     # executors each bring their own of — measured collapse to ~0.1
     # "efficiency" at 8M events is host-resource saturation, not an
-    # engine property (the 2-process isolation run below shows separate
-    # JVMs beating the same threads in one JVM while the host still has
-    # headroom).  The prescribed sandbox evidence for the north rule is
-    # the thread pair above.
+    # engine property.  The prescribed sandbox evidence for the north
+    # rule is the thread pair above.
     ex = None
     if os.environ.get("SPARK_GRAFT_EXEC_SCALING"):
         ex = run_executor_scaling(log_dir, work)
         if ex["efficiency"] > 1.05:  # same pre-registered validity rule
             ex = run_executor_scaling(log_dir, work)
             ex["remeasured"] = True
+        emit("executor_scaling")
 
-    iso = run_isolation_experiment(log_dir, work)
+    # OPT-IN (SPARK_GRAFT_BENCH_ISOLATION=1) since r4 — same budget
+    # rationale as the derived phase; the threads-vs-processes claim it
+    # backs is established in BENCH.md history and doesn't need
+    # re-measuring every gate run.
+    iso = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATION"):
+        iso = run_isolation_experiment(log_dir, work)
+        emit("isolation")
 
     cdc = {
         "n_events": N_EVENTS,
@@ -716,13 +794,13 @@ def main() -> None:
             "seconds": inc["seconds"],
             "events_per_sec": inc["events_per_sec"],
         },
-        "derived_maintenance": {
+        **({"derived_maintenance": {
             "batches": deriv["batches"],
             "times": deriv["times"],
             "seconds": deriv["seconds"],
             "refresh_times": deriv.get("derived_refresh_times"),
             "refresh_total": deriv.get("derived_refresh_total"),
-        },
+        }} if deriv else {}),
         "streaming_tailer": {
             "batches": stream["batches"],
             "cores": cores,
@@ -731,50 +809,26 @@ def main() -> None:
             "events_per_sec": stream["events_per_sec"],
         },
         **({"executor_scaling": ex} if ex else {}),
-        "isolation": iso,
+        **({"isolation": iso} if iso else {}),
     }
     shutil.rmtree(work, ignore_errors=True)
 
     result = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(warm.values()), 3),
+        "value": compact["value"],
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "cores": cores,
         "cdc": cdc,
     }
     write_bench_md(result)
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(result, f, indent=1)
-    # The stdout line must stay COMPACT: the driver tail-captures stdout
-    # and r2's full-detail line (warm+cold+cdc rep arrays) outgrew the
-    # capture window, leaving BENCH_r02.json with parsed:null.  Warm
-    # queries + summary scalars only; everything else lives in BENCH.md
-    # and BENCH_FULL.json.
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in warm.items()},
-        "sf": result["sf"],
-        "cores": cores,
-        "cdc_efficiency": efficiency,
-        # measurement-quality stats (value-blind): per-level max/min rep
-        # spread of the published pair; >2.0 means the published run is
-        # itself steal-contaminated (the one permitted validity re-run
-        # was spent) — see BENCH.md for the full samples
-        "cdc_rep_spread_by_level": {
-            str(r["cores"]): round(max(r["times"]) / min(r["times"]), 2)
-            for r in runs
-        },
-        "cdc_speedup": speedup,
-        "cdc_best_events_per_sec": cdc["best_events_per_sec"],
-        "cdc_incremental_events_per_sec": inc["events_per_sec"],
-        "cdc_streaming_events_per_sec": stream["events_per_sec"],
-    }
-    print(json.dumps(compact))
+    # final line: same compact snapshot (the driver tail-parses the
+    # last JSON line; every field was already present after its phase)
+    emit("complete")
 
 
 if __name__ == "__main__":
