@@ -24,6 +24,14 @@ Scale shape (100 TB):
 * training = ONE bigram explode → ONE hash agg with map-side combine
   (cost ∝ tokens); context counts fold from the bigram table (cost ∝
   distinct bigrams), never a second corpus pass;
+* self-scoring (``lm_docs=None``) tokenizes the corpus ONCE: the
+  per-doc word-array frame is persisted (MEMORY_AND_DISK) and the
+  bigram-count, vocabulary, and scoring branches all explode from that
+  cache — the physical plan contains a single scan of ``documents``
+  (asserted in tests/test_lm.py).  The cache holds one array row per
+  doc (≈ the tokenized corpus); at sizes where that doesn't fit the
+  cluster's storage memory+disk, self-scoring is the wrong shape
+  anyway — use ``lm_docs=`` (below);
 * scoring = the doc-bigram stream joined against the two count tables.
   Self-scoring a 100 TB corpus against a 100 TB-trained LM would
   shuffle-join on the bigram key; the production pattern (CCNet
@@ -49,13 +57,19 @@ from pyspark.sql import functions as F
 from investigraph_etl_spark.operators.textstats import words
 
 
-def _doc_bigrams(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+def _word_arrays(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    """One row per doc: (id, _ws) — the lowercase word array.  The one
+    frame self-scoring persists so tokenization runs once."""
+    return docs.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("_ws")
+    )
+
+
+def _bigrams_from_arrays(arr: DataFrame, id_col: str) -> DataFrame:
     """One row per bigram OCCURRENCE: (id, w1, w2).  Docs with < 2
     words contribute nothing (and are excluded from scoring)."""
-    ws = words(F.lower(F.col(text_col)))
     return (
-        docs.select(F.col(id_col), ws.alias("_ws"))
-        .where(F.size("_ws") >= 2)
+        arr.where(F.size("_ws") >= 2)
         .select(
             id_col,
             F.explode(
@@ -69,21 +83,36 @@ def _doc_bigrams(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _doc_bigrams(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    return _bigrams_from_arrays(
+        _word_arrays(docs, text_col=text_col, id_col=id_col), id_col
+    )
+
+
 def train_bigram_lm(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _arr: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Count tables of a bigram LM over ``docs``: returns
     ``(bigram_counts(w1, w2, cb), context_counts(w1, cu), vocab(_v))``
     — ``vocab`` is a 1-row frame so the scalar stays a lazy plan (no
-    driver action) and broadcast-joins into the scoring expression."""
-    occ = _doc_bigrams(docs, text_col=text_col, id_col=id_col)
+    driver action) and broadcast-joins into the scoring expression.
+    ``_arr`` (internal) supplies a pre-built — typically persisted —
+    word-array frame so self-scoring never re-tokenizes the corpus."""
+    arr = _arr if _arr is not None else _word_arrays(
+        docs, text_col=text_col, id_col=id_col
+    )
+    occ = _bigrams_from_arrays(arr, id_col)
     cb = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     # context count = Σ over the (already tiny vs the corpus) bigram
     # table — NOT a second corpus scan
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
-    vocab = docs.select(
-        F.explode(words(F.lower(F.col(text_col)))).alias("w")
-    ).agg(F.count_distinct("w").alias("_v"))
+    vocab = arr.select(F.explode("_ws").alias("w")).agg(
+        F.count_distinct("w").alias("_v")
+    )
     return cb, cu, vocab
 
 
@@ -104,17 +133,29 @@ def lm_perplexity(
     to the α-smoothed floor via the left joins).  Docs with < 2 words
     are excluded (a bigram LM assigns them no probability).
 
+    Self-scoring persists the tokenized word-array frame
+    (MEMORY_AND_DISK) so the corpus is scanned and tokenized exactly
+    once; the counts, vocabulary, and scoring branches each explode
+    from the cache.  The cache is left to Spark's LRU eviction — it is
+    an input of the returned lazy plan.
+
     Output: ``(doc_id, n_bigrams, avg_logp, ppl, ppl_keep)`` — floats
     rounded (4 / 3 dp) and the keep flag computed ON the rounded value,
     so the DuckDB oracle's libm cannot flake a boundary.
     """
-    cb, cu, vocab = train_bigram_lm(
-        lm_docs if lm_docs is not None else docs,
-        text_col=text_col,
-        id_col=id_col,
-    )
+    if lm_docs is None:
+        arr = _word_arrays(docs, text_col=text_col, id_col=id_col).persist()
+        cb, cu, vocab = train_bigram_lm(
+            docs, text_col=text_col, id_col=id_col, _arr=arr
+        )
+        score_occ = _bigrams_from_arrays(arr, id_col)
+    else:
+        cb, cu, vocab = train_bigram_lm(
+            lm_docs, text_col=text_col, id_col=id_col
+        )
+        score_occ = _doc_bigrams(docs, text_col=text_col, id_col=id_col)
     scored = (
-        _doc_bigrams(docs, text_col=text_col, id_col=id_col)
+        score_occ
         .join(cb, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))

@@ -159,11 +159,13 @@ class MinHashIndex:
         bands = self.band_hashes(changed)
         # LEFT join from the feed keys: a doc whose new content yields
         # zero shingles still upserts (null bands) — stale bands from
-        # its previous content must not survive
+        # its previous content must not survive.  The feed key is
+        # aliased first (round-4, ADVICE r3): with key='id' the naive
+        # condition F.col(key) == F.col('id') is self-ambiguous.
         upserts = (
-            changed.select(self.key)
-            .join(bands, F.col(self.key) == F.col("id"), "left")
-            .select(self.key, "band_hashes")
+            changed.select(F.col(self.key).alias("_mhidx_key"))
+            .join(bands, F.col("_mhidx_key") == F.col("id"), "left")
+            .select(F.col("_mhidx_key").alias(self.key), "band_hashes")
         )
         deletes = feed.where(F.col("_change_type") == "delete").select(
             self.key, F.lit(None).cast(ArrayType(LongType())).alias("band_hashes")

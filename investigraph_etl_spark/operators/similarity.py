@@ -42,6 +42,26 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+def _empty_knn_result(spark) -> DataFrame:
+    """Empty frame with the exact output schema of the KNN operators —
+    the early return for an empty query set (round-4, ADVICE r3: the
+    broadcast-matrix rewrites crashed driver-side on 1-D empty numpy
+    arrays before the kernels' nq==0 guards could help)."""
+    from pyspark.sql.types import IntegerType
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType(), False),
+            ]
+        ),
+    )
+
+
 def brute_force_knn(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -53,6 +73,8 @@ def brute_force_knn(
     """Exact cosine top-k: (query_id, neighbor_id, cosine), self
     excluded, deterministic tie-break by neighbor_id asc."""
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_knn_result(embeddings.sparkSession)
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -220,8 +242,10 @@ def lsh_knn(
     twice and scored every candidate with ``aggregate(zip_with(...))``
     lambdas).  The only shuffle is O(partitions × queries × k) survivor
     rows into the global rank."""
-    planes = _hyperplanes(dim, n_bits, n_tables, seed)
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    if not len(q_ids):
+        return _empty_knn_result(embeddings.sparkSession)
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
     q_codes = np.einsum(
         "tbn,b->tn",
@@ -389,10 +413,12 @@ def ivf_knn(
     whose cell is probed by ≥1 query, exact-scores those pairs with a
     gathered einsum, and emits per-batch top-k — no candidate shuffle,
     no embeddings join-back, no interpreted HOF cosine."""
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    if not len(q_ids):
+        return _empty_knn_result(embeddings.sparkSession)
     cent = ivf_centroids(
         embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
     nq, nc = len(q_ids), len(cent)
     p = min(nprobe, nc)
     probes = np.argpartition(-(q_mat @ cent.T), p - 1, axis=1)[:, :p]  # (nq, p)
@@ -435,6 +461,7 @@ def exact_cosine_pairs(
     n_chunks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t) —
     exact all-pairs baseline as a distributed block-matrix product.
@@ -451,7 +478,25 @@ def exact_cosine_pairs(
     all-pairs — but memory per task is two chunks, the driver holds
     nothing, and C(C+1)/2 tasks spread the quadratic cost.  At web
     scale use :func:`lsh_near_dup_pairs`; this operator is the
-    oracle-checked exact baseline."""
+    oracle-checked exact baseline.
+
+    ``max_rows`` (round-4 size guard, VERDICT r3 task 6): exact
+    all-pairs is O(n²) compute and O((n/C)·dim) task memory — above
+    the guard a corpus-scale caller gets a clear error routing them to
+    :func:`lsh_near_dup_pairs` instead of a silent quadratic blowup.
+    The count is memoized per input frame (semantic-hash keyed);
+    pass ``max_rows=None`` to waive the guard deliberately."""
+    if max_rows is not None:
+        from investigraph_etl_spark.operators.dedup import _memo_count
+
+        n = _memo_count(embeddings)
+        if n > max_rows:
+            raise ValueError(
+                f"exact_cosine_pairs: corpus has {n:,} rows > max_rows="
+                f"{max_rows:,}; exact all-pairs is O(n²) — use "
+                "lsh_near_dup_pairs for corpora this size, raise "
+                "max_rows, or pass max_rows=None to waive the guard"
+            )
     schema = StructType(
         [
             StructField("id_a", LongType()),

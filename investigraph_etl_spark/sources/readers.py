@@ -74,19 +74,31 @@ def seed_sources(
 _ENCODING_ALIASES = {"latin": "ISO-8859-1", "latin1": "ISO-8859-1"}
 
 
-def fetch_to_spool(uri: str, cache_dir: str | None = None) -> str:
+def fetch_to_spool(
+    uri: str, cache_dir: str | None = None, timeout: float = 60.0
+) -> str:
     """Fetch a remote (http/https) source to a local spool file and
-    return the local path — content-addressed by uri, so repeat runs
-    reuse the download (the reference's archive-cache behavior,
-    /root/reference/investigraph/model/context.py:349-374: fetch once,
-    checksum-addressed).  Driver-side on purpose: reference sources are
-    single tabular files (the same reason the xlsx path is driver-side);
-    a 100 TB lake ingests from object storage the Spark readers address
-    natively, not via per-file HTTP."""
+    return the local path — cached ADDRESSED BY URI (one spool entry
+    per uri; the body is not checksummed — a changed remote body behind
+    the same uri reuses the stale cache entry until it is deleted),
+    so repeat runs reuse the download (the reference's archive-cache
+    behavior, /root/reference/investigraph/model/context.py:349-374).
+    Driver-side on purpose: reference sources are single tabular files
+    (the same reason the xlsx path is driver-side); a 100 TB lake
+    ingests from object storage the Spark readers address natively,
+    not via per-file HTTP.
+
+    Concurrency-safe (round-4, ADVICE r3): the temp name carries a
+    uuid, not just the pid, so two threads in one process fetching the
+    same uri cannot clobber each other's partial download; the final
+    ``os.replace`` is atomic, so concurrent fetchers converge on one
+    complete file.  ``timeout`` bounds the socket (urlretrieve has no
+    timeout parameter)."""
     import hashlib
     import os
     import tempfile
     import urllib.request
+    import uuid
     from urllib.parse import urlparse
 
     cache = pathlib.Path(
@@ -99,9 +111,20 @@ def fetch_to_spool(uri: str, cache_dir: str | None = None) -> str:
     key = hashlib.sha256(uri.encode("utf-8")).hexdigest()[:16]
     dest = cache / f"{key}-{name}"
     if not dest.exists():
-        tmp = cache / f"{dest.name}.part.{os.getpid()}"
-        urllib.request.urlretrieve(uri, tmp)
-        os.replace(tmp, dest)  # atomic: concurrent fetchers converge
+        tmp = cache / f"{dest.name}.part.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            with urllib.request.urlopen(uri, timeout=timeout) as resp, open(
+                tmp, "wb"
+            ) as fh:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    fh.write(chunk)
+            os.replace(tmp, dest)  # atomic: concurrent fetchers converge
+        finally:
+            if tmp.exists():
+                tmp.unlink(missing_ok=True)
     return str(dest)
 
 

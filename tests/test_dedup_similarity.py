@@ -155,6 +155,38 @@ def test_simhash_stream_stitching_across_arrow_batches(spark, docs):
     assert got_nocap == want  # auto cap is exact on this corpus
 
 
+def test_simhash_uncapped_opt_out_and_memoized_count(spark, docs):
+    """Round-4 (ADVICE r3): max_block_df=0 or math.inf disables the
+    hot-bucket cap entirely; the AUTO path derives n from a count
+    memoized on the plan's semantic hash (one job per distinct input
+    per session, not one per call)."""
+    import math
+
+    from investigraph_etl_spark.operators import dedup as dd
+
+    want = sorted(
+        tuple(r)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=8, max_block_df=10**9
+        ).collect()
+    )
+    for opt_out in (0, math.inf):
+        got = sorted(
+            tuple(r)
+            for r in simhash_near_dup_pairs(
+                docs, max_hamming=8, max_block_df=opt_out
+            ).collect()
+        )
+        assert got == want
+    # memoization: two AUTO calls on the same frame hit the cache entry
+    dd._SIMHASH_COUNT_CACHE.clear()
+    simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    assert len(dd._SIMHASH_COUNT_CACHE) == 1
+    n_before = dict(dd._SIMHASH_COUNT_CACHE)
+    simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    assert dd._SIMHASH_COUNT_CACHE == n_before
+
+
 def _np_knn(vecs: dict[int, np.ndarray], qids: list[int], k: int):
     ids = sorted(vecs)
     mat = np.stack([vecs[i] for i in ids]).astype(np.float64)
@@ -513,3 +545,32 @@ def test_winnow_max_gram_df_drops_boilerplate(spark):
     assert (0, 1) in capped
     # pairs held together ONLY by the everywhere-boilerplate are gone
     assert (2, 3) not in capped
+
+
+def test_knn_empty_query_set_returns_empty_frame(spark, emb):
+    """Round-4 (ADVICE r3): an empty query frame must return an empty
+    result with the standard (query_id, neighbor_id, cosine, rank)
+    schema instead of crashing driver-side on a 1-D empty numpy
+    matrix, for all three KNN paths."""
+    df, _ = emb
+    none = df.filter(F.col("vec_id") < 0)  # empty query set
+    for fn in (
+        lambda: brute_force_knn(df, none, k=3),
+        lambda: lsh_knn(df, none, dim=16, k=3),
+        lambda: ivf_knn(df, none, k=3, n_centroids=6),
+    ):
+        out = fn()
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+        assert out.count() == 0
+
+
+def test_exact_cosine_pairs_size_guard(spark, emb):
+    """Round-4 (VERDICT r3 task 6): exact all-pairs refuses corpora
+    above max_rows with a message routing to lsh_near_dup_pairs;
+    max_rows=None waives the guard."""
+    df, _ = emb
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        exact_cosine_pairs(df, threshold=0.9, max_rows=10)
+    # waived / above-threshold settings still work
+    assert exact_cosine_pairs(df, threshold=0.99, max_rows=None).count() >= 0
+    assert exact_cosine_pairs(df, threshold=0.99, max_rows=10**6).count() >= 0

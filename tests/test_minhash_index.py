@@ -308,3 +308,48 @@ def test_any_stream_any_refresh_cadence_equals_rebuild(
             idx.refresh(lake)
     assert idx.version == lake.version
     assert _index_state(idx) == _fresh_bands(idx, lake)
+
+
+def test_index_key_named_id(spark, tmp_path):
+    """Round-4 (ADVICE r3): with key='id' the refresh upsert join used
+    to compare F.col('id') == F.col('id') — self-ambiguous.  The feed
+    key is now aliased before the join, so an 'id'-keyed source folds
+    correctly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("tokens", ArrayType(LongType()), True),
+        ]
+    )
+    src = HashLakeTable.create(
+        spark, str(tmp_path / "src_id"), schema, key="id", num_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [("A", TOK_A, "insert", 1), ("B", TOK_B, "insert", 2)],
+        "id string, tokens array<bigint>, op string, event_sequence long",
+    )
+    src.merge(batch, 0)
+    idx = MinHashIndex(
+        spark, str(tmp_path / "idx_id"), key="id", content_col="tokens",
+        mode="tokens", num_buckets=4,
+    )
+    st = idx.refresh(src)
+    assert not st.get("skipped")
+    state = {
+        r["id"]: tuple(r["band_hashes"]) for r in idx.table.read().collect()
+    }
+    live = src.read().select("id", "tokens")
+    fresh = {
+        r["id"]: tuple(r["band_hashes"])
+        for r in idx.band_hashes(live).collect()
+    }
+    assert state == fresh
+    assert set(state) == {"A", "B"}

@@ -214,7 +214,7 @@ def test_http_source_through_pipeline(spark, tmp_path):
     """Remote http source uri — the reference's most common deployment
     shape, exercised hermetically via a local HTTP server exactly like
     the reference test infra (/root/reference/tests/conftest.py:15-55).
-    The fetch spools once (content-addressed) and the golden 151-entity
+    The fetch spools once (uri-addressed) and the golden 151-entity
     run must be unchanged."""
     import functools
     import http.server
@@ -230,7 +230,7 @@ def test_http_source_through_pipeline(spark, tmp_path):
         url = f"http://127.0.0.1:{srv.server_address[1]}/{CSV.name}"
         from investigraph_etl_spark.sources.readers import Source, fetch_to_spool
 
-        # spool is content-addressed: two fetches, one local file
+        # spool is uri-addressed: two fetches, one local file
         spool_dir = tmp_path / "spool"
         p1 = fetch_to_spool(url, cache_dir=str(spool_dir))
         p2 = fetch_to_spool(url, cache_dir=str(spool_dir))
@@ -277,3 +277,51 @@ def test_inspect_cli_and_run_timings(spark, tmp_path, capsys):
     t = res["timings"]
     assert {"extract", "transform", "load", "export", "stats", "total"} <= set(t)
     assert t["total"] >= max(t["extract"], t["export"])
+
+
+def test_fetch_to_spool_concurrent_threads(tmp_path):
+    """Round-4 (ADVICE r3): the spool temp name carries a uuid so two
+    threads in ONE process fetching the same uri cannot clobber each
+    other's partial file; every thread converges on one complete spool
+    entry.  Also pins the socket-timeout plumbing (urlopen path)."""
+    import functools
+    import http.server
+    import threading
+
+    from investigraph_etl_spark.sources.readers import fetch_to_spool
+
+    body = b"x" * 300_000  # big enough to span several chunks
+    payload = tmp_path / "payload.bin"
+    payload.write_bytes(body)
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/payload.bin"
+        spool = tmp_path / "spool"
+        results: list[str] = []
+        errors: list[Exception] = []
+
+        def fetch():
+            try:
+                results.append(
+                    fetch_to_spool(url, cache_dir=str(spool), timeout=30)
+                )
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=fetch) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(set(results)) == 1
+        assert pathlib.Path(results[0]).read_bytes() == body
+        # no leftover .part files
+        assert not list(spool.glob("*.part.*"))
+    finally:
+        srv.shutdown()
+        srv.server_close()
