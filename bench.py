@@ -629,7 +629,7 @@ def main() -> None:
     # numbers).  Used by the verify loop; the driver never sets it.
     if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         cold, warm = run_headline(sf_dir, cores)
-        print(json.dumps({
+        print("\n" + json.dumps({
             "metric": "headline_queries_total_sec",
             "value": round(sum(warm.values()), 3),
             "unit": "sec",
@@ -658,7 +658,11 @@ def main() -> None:
 
     def emit(phase: str) -> None:
         compact["phases_done"] = compact["phases_done"] + [phase]
-        print(json.dumps(compact), flush=True)
+        # leading newline: Spark's console progress bar can leave a
+        # partial \r-line on the stream; without it a JSON line can get
+        # glued mid-line and a '^{'-anchored tail parse misses it
+        # (observed in the r4 smoke run — the headline emit vanished)
+        print("\n" + json.dumps(compact), flush=True)
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     log_dir = f"{work}/changelog"

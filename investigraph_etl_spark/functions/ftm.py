@@ -152,8 +152,10 @@ FTM_PROPERTIES: frozenset[str] = frozenset(
         "model", "buildDate", "operator", "flag", "imoNumber", "mmsi",
         "callSign", "tonnage", "grossRegisteredTonnage", "serialNumber",
         "isin", "issuer", "maturityDate",
-        # Event
-        "location",
+        # Event (organizer/involved: used by the reference's
+        # ec_meetings fixture transform, tests/fixtures/ec_meetings/
+        # transform.py:113-115)
+        "location", "organizer", "involved",
     }
 )
 

@@ -10,6 +10,20 @@ Subcommands:
   ``inspect`` — preview resolved config + first N records/statements
                 without running (the reference's ``investigraph
                 inspect``, cli.py:178-187)
+  ``seed``    — print the pipeline's resolved sources as JSON lines
+                (the reference's ``investigraph seed``, cli.py:82-99)
+  ``extract`` / ``transform`` / ``load`` — composable per-stage pipe
+                surface over line-JSON stdin/stdout (the reference's
+                GNU-parallel stage commands, cli.py:102-176 and
+                docs/run/parallelization.md):
+                ``seed -c cfg | extract --from-stdin -c cfg |
+                transform -c cfg | load -c cfg``.  Deliberate scope:
+                the pipe surface exists for reference-parity scripting
+                of moderate data; at lake scale the SAME stages run as
+                one Spark plan (``run``) or as the streaming tailer —
+                parallelism comes from the cluster, not GNU parallel.
+  ``settings``— dump effective engine settings as JSON (the
+                reference's ``investigraph settings``, cli.py:188-196)
   ``replay``  — batch replay of a changelog directory into the lake
   ``tail``    — streaming tailer (``--follow`` keeps running;
                 default drains available files and exits)
@@ -37,14 +51,84 @@ from investigraph_etl_spark.streaming.tailer import (
 )
 
 
+def _resolve_sources(cfg) -> list:
+    """Configured + handler-seeded + glob-seeded sources, in the same
+    precedence order as the extract stage (reference logic/seed.py)."""
+    import pathlib
+
+    from investigraph_etl_spark.plans.custom import resolve_handler
+    from investigraph_etl_spark.sources.readers import Source, seed_sources
+
+    sources = list(cfg.sources)
+    if cfg.seed_handler:
+        sources += [
+            s if isinstance(s, Source) else Source(**s)
+            for s in resolve_handler(cfg.seed_handler)({"name": cfg.name})
+        ]
+    if cfg.seed_glob:
+        sources += seed_sources(
+            str(pathlib.Path(cfg.base_path)),
+            pattern=cfg.seed_glob,
+            exclude=cfg.seed_exclude,
+        )
+    return sources
+
+
+def _open_out(uri: str):
+    import contextlib
+    import sys
+
+    if uri in ("-", None):
+        return contextlib.nullcontext(sys.stdout)
+    return open(uri, "w")
+
+
+def _read_lines(uri: str) -> list[str]:
+    import sys
+
+    fh = sys.stdin if uri in ("-", None) else open(uri)
+    try:
+        return [ln for ln in (l.strip() for l in fh) if ln]
+    finally:
+        if fh is not sys.stdin:
+            fh.close()
+
+
+def _json_lines_df(spark, lines: list[str]):
+    """Line-JSON → DataFrame (schema inferred across the batch — the
+    pipe surface is bounded by contract, see module docstring)."""
+    return spark.read.json(spark.sparkContext.parallelize(lines or ["{}"], 8))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="investigraph_etl_spark")
     p.add_argument(
         "command",
-        choices=["run", "inspect", "replay", "tail", "export", "lookup", "changes"],
+        choices=[
+            "run", "inspect", "seed", "extract", "transform", "load",
+            "settings", "replay", "tail", "export", "lookup", "changes",
+        ],
     )
-    p.add_argument("-c", "--config", help="pipeline YAML (run/inspect)")
+    p.add_argument("-c", "--config", help="pipeline YAML (run/inspect/stages)")
     p.add_argument("-l", "--limit", type=int, help="record limit (run)")
+    p.add_argument(
+        "-o", "--out-uri", default="-",
+        help="stage output: file path or '-' for stdout (seed/extract/"
+        "transform)",
+    )
+    p.add_argument(
+        "-i", "--in-uri", default="-",
+        help="stage input: file path or '-' for stdin (transform/load)",
+    )
+    p.add_argument(
+        "--from-stdin", action="store_true",
+        help="extract: read seed JSON lines from stdin instead of the "
+        "config's sources",
+    )
+    p.add_argument(
+        "-s", "--source", default=None,
+        help="extract: only this source name",
+    )
     p.add_argument(
         "-n", "--preview", type=int, default=10,
         help="rows to preview per stage (inspect)",
@@ -95,7 +179,150 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = p.parse_args(argv)
 
+    # Spark-free commands first — a seed listing or settings dump must
+    # not pay (or require) a JVM.
+    if args.command == "settings":
+        # reference `investigraph settings` (cli.py:188-196): dump the
+        # effective runtime configuration
+        import os
+
+        env = {
+            k: v
+            for k, v in sorted(os.environ.items())
+            if k.startswith(("SPARK_GRAFT_", "INVESTIGRAPH_"))
+        }
+        with _open_out(args.out_uri) as fh:
+            print(
+                json.dumps(
+                    {
+                        "engine": "investigraph_etl_spark",
+                        "master": args.master or "local[*]",
+                        "num_buckets": args.num_buckets,
+                        "env": env,
+                    }
+                ),
+                file=fh,
+            )
+        return
+
+    if args.command == "seed":
+        # reference `investigraph seed` (cli.py:82-99): resolve and
+        # print the pipeline's sources, one JSON line each, for piping
+        # into `extract --from-stdin`
+        from investigraph_etl_spark.plans.pipeline import load_config
+
+        if not args.config:
+            p.error("seed requires -c/--config")
+        cfg = load_config(args.config)
+        sources = _resolve_sources(cfg)
+        if args.limit is not None:
+            sources = sources[: args.limit]
+        with _open_out(args.out_uri) as fh:
+            for s in sources:
+                print(
+                    json.dumps(
+                        {
+                            "uri": s.uri,
+                            "name": s.name,
+                            "options": s.options,
+                            "limit": s.limit,
+                            "slug_columns": s.slug_columns,
+                        }
+                    ),
+                    file=fh,
+                )
+        return
+
     spark = get_spark("investigraph_etl_spark", master=args.master)
+
+    if args.command == "extract":
+        # reference `investigraph extract` (cli.py:102-140): records as
+        # JSON lines, from the config's sources or seed lines on stdin
+        from investigraph_etl_spark.plans.pipeline import (
+            extract_records,
+            load_config,
+        )
+        from investigraph_etl_spark.sources.readers import Source, read_source
+
+        if not args.config:
+            p.error("extract requires -c/--config")
+        cfg = load_config(args.config)
+        if args.from_stdin or args.source is not None:
+            if args.from_stdin:
+                seeds = [json.loads(ln) for ln in _read_lines(args.in_uri)]
+                sources = [
+                    Source(
+                        uri=d["uri"],
+                        name=d.get("name"),
+                        options=d.get("options") or {},
+                        limit=d.get("limit"),
+                        slug_columns=bool(d.get("slug_columns", False)),
+                    )
+                    for d in seeds
+                ]
+            else:
+                sources = _resolve_sources(cfg)
+            if args.source is not None:
+                sources = [s for s in sources if s.name == args.source]
+            if cfg.extract_handler:
+                from investigraph_etl_spark.plans.custom import (
+                    apply_custom_extract,
+                )
+
+                df = apply_custom_extract(spark, cfg.extract_handler, sources)
+            else:
+                if not sources:
+                    p.error("extract: no matching sources")
+                frames = [read_source(spark, s) for s in sources]
+                df = frames[0]
+                for other in frames[1:]:
+                    df = df.unionByName(other, allowMissingColumns=True)
+        else:
+            df = extract_records(spark, cfg)
+        if args.limit is not None:
+            df = df.limit(args.limit)
+        with _open_out(args.out_uri) as fh:
+            for line in df.toJSON().toLocalIterator():
+                print(line, file=fh)
+        return
+
+    if args.command == "transform":
+        # reference `investigraph transform` (cli.py:143-160): records
+        # in (line-JSON), statement fragments out (line-JSON)
+        from investigraph_etl_spark.plans.pipeline import (
+            load_config,
+            transform_statements,
+        )
+
+        if not args.config:
+            p.error("transform requires -c/--config")
+        cfg = load_config(args.config)
+        records = _json_lines_df(spark, _read_lines(args.in_uri))
+        statements = transform_statements(records, cfg)
+        with _open_out(args.out_uri) as fh:
+            for line in statements.toJSON().toLocalIterator():
+                print(line, file=fh)
+        return
+
+    if args.command == "load":
+        # reference `investigraph load` (cli.py:163-175): statements in
+        # (line-JSON), merged into the configured statement sink
+        from investigraph_etl_spark.plans.pipeline import load_config
+
+        if not args.config:
+            p.error("load requires -c/--config")
+        cfg = load_config(args.config)
+        dest = cfg.load_uri if args.out_uri in ("-", None) else args.out_uri
+        if not dest:
+            p.error("load requires a load.uri in the config or -o/--out-uri")
+        statements = _json_lines_df(spark, _read_lines(args.in_uri))
+        statements.write.mode("overwrite").parquet(dest)
+        print(
+            json.dumps(
+                {"statements": spark.read.parquet(dest).count(), "uri": dest}
+            )
+        )
+        return
 
     if args.command == "run":
         from investigraph_etl_spark.plans.pipeline import run_pipeline

@@ -20,6 +20,8 @@ TABLES = [
 
 
 def norm_cell(v):
+    import decimal
+
     import numpy as np
 
     if v is None or v is pd.NA:
@@ -32,7 +34,11 @@ def norm_cell(v):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):
         return str(int(v))
-    if isinstance(v, (float, np.floating)):
+    if isinstance(v, (float, np.floating, decimal.Decimal)):
+        # Decimal normalizes through the same float format so scale
+        # artifacts (1.50 vs 1.5) can't flake a decimal-vs-decimal
+        # comparison; decimal-vs-DOUBLE drift is still flagged by
+        # dtype_kind before values are compared
         f = float(v)
         return str(int(f)) if f == int(f) else f"{f:.6f}".rstrip("0")
     return str(v)
@@ -50,7 +56,14 @@ def dtype_kind(series: pd.Series) -> str:
     because ``norm_cell`` collapses 32.0 -> "32", which hid the DuckDB
     HUGEINT->float64 vs Spark int64 mismatch that made the r1 sessionize
     and r2 repetition_signals gate rows red.  An object column falls back
-    to the Python type of its first non-null value."""
+    to the Python type of its first non-null value.  DECIMAL columns
+    (both Spark DecimalType and DuckDB DECIMAL arrive in pandas as
+    object columns of decimal.Decimal) get their own kind (round-4,
+    VERDICT r3 task 10): a money-typed oracle drifting to DOUBLE — or
+    vice versa — is the next likely driver-red flake class and must
+    fail locally before values are even compared."""
+    import decimal
+
     import numpy as np
 
     k = series.dtype.kind
@@ -68,6 +81,8 @@ def dtype_kind(series: pd.Series) -> str:
                 continue
             if isinstance(v, (bool, np.bool_)):
                 return "bool"
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
             if isinstance(v, (int, np.integer)):
                 return "int"
             if isinstance(v, (float, np.floating)):
