@@ -416,7 +416,7 @@ def _popcount64(x):  # numpy uint64 SWAR popcount (no np.bitwise_count in 1.x)
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
-_SIMHASH_COUNT_CACHE: dict[int, int] = {}
+_COUNT_CACHE: dict[int, int] = {}
 
 
 def _memo_count(df: DataFrame) -> int:
@@ -427,9 +427,9 @@ def _memo_count(df: DataFrame) -> int:
     changing under an identical plan) only shifts the heuristic cap,
     never output semantics."""
     key = df._jdf.queryExecution().analyzed().semanticHash()
-    if key not in _SIMHASH_COUNT_CACHE:
-        _SIMHASH_COUNT_CACHE[key] = df.count()
-    return _SIMHASH_COUNT_CACHE[key]
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = df.count()
+    return _COUNT_CACHE[key]
 
 
 def simhash_near_dup_pairs(

@@ -326,8 +326,12 @@ def ivf_centroids(
     the seeded Bernoulli sample is shuffle- and sort-free, and the
     result is deterministic for a fixed file layout — exactly the
     caveat the IVF recipe tolerates, since any representative sample
-    yields an equivalent quantizer (recall is asserted in tests)."""
-    total = embeddings.count()
+    yields an equivalent quantizer (recall is asserted in tests).
+    The sizing count is memoized per input frame (semantic-hash keyed,
+    round 4) — repeat probes against the same corpus skip the job."""
+    from investigraph_etl_spark.operators.dedup import _memo_count
+
+    total = _memo_count(embeddings)
     fraction = min(1.0, (2.0 * sample) / max(total, 1))
     rows = (
         embeddings.select(id_col, vec_col)

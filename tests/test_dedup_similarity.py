@@ -179,12 +179,12 @@ def test_simhash_uncapped_opt_out_and_memoized_count(spark, docs):
         )
         assert got == want
     # memoization: two AUTO calls on the same frame hit the cache entry
-    dd._SIMHASH_COUNT_CACHE.clear()
+    dd._COUNT_CACHE.clear()
     simhash_near_dup_pairs(docs, max_hamming=8).collect()
-    assert len(dd._SIMHASH_COUNT_CACHE) == 1
-    n_before = dict(dd._SIMHASH_COUNT_CACHE)
+    assert len(dd._COUNT_CACHE) == 1
+    n_before = dict(dd._COUNT_CACHE)
     simhash_near_dup_pairs(docs, max_hamming=8).collect()
-    assert dd._SIMHASH_COUNT_CACHE == n_before
+    assert dd._COUNT_CACHE == n_before
 
 
 def _np_knn(vecs: dict[int, np.ndarray], qids: list[int], k: int):

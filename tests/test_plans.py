@@ -192,3 +192,21 @@ def test_repetition_signals_two_hash_aggs_no_join(spark):
     ]
     assert len(hash_ex) == 2, hash_ex
     assert "SortAggregate" not in t
+
+
+def test_queries_ordering_keeps_oracle_keys_in_driver_window():
+    """Round-4 regression guard (VERDICT r3 task 2): the driver
+    verifies only the FIRST 50 queries() entries.  Every key that has
+    an oracle_sql() twin must sit inside that window, or its value
+    check silently never runs (r3 lost cdc_replay_lake and
+    lake_incremental_agg this way)."""
+    qs = list(entry.queries())
+    oracle_keys = set(entry.oracle_sql())
+    window = set(qs[:50])
+    missing = oracle_keys - window
+    assert not missing, (
+        f"oracle-checked keys pushed past the driver's 50-row window: "
+        f"{sorted(missing)} — reorder queries() so they come first"
+    )
+    # every oracle key must also have a query (no orphan oracles)
+    assert oracle_keys <= set(qs)
