@@ -147,8 +147,17 @@ def tail_changelog(
     reduce_batch: bool = True,
     compact_mode: str = "sync",
     derived: list | None = None,
+    stream: DataFrame | None = None,
+    dead_letter_dir: str | None = None,
 ):
     """Start the tailer; returns the StreamingQuery.
+
+    ``stream`` — a pre-built streaming DataFrame to tail instead of
+    the default parquet changelog source (e.g. a decoded Debezium
+    envelope stream from :func:`tail_debezium`).  If it carries the
+    ``_dead`` marker column (sources/debezium.py), dead-lettered rows
+    are quarantined to ``dead_letter_dir`` (append-parquet, keyed by
+    batch id for idempotent retries) instead of poisoning the merge.
 
     ``available_now=True`` drains everything currently in the directory
     and stops (the replay/bench mode); ``False`` keeps tailing.
@@ -175,14 +184,34 @@ def tail_changelog(
     """
     metrics = MetricsLog(metrics_path)
 
-    stream = (
-        spark.readStream.schema(change_schema(with_lang))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(changelog_dir)
-    )
+    if stream is None:
+        stream = (
+            spark.readStream.schema(change_schema(with_lang))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(changelog_dir)
+        )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
+        persisted = None
+        if "_dead" in batch.columns:
+            # quarantine, then merge only the valid side.  Two actions
+            # over the decoded batch — persist so the envelope parse
+            # runs once; dead letters keyed by batch id so a replayed
+            # batch overwrites (not duplicates) its own quarantine.
+            from investigraph_etl_spark.sources.debezium import (
+                split_dead_letters,
+            )
+
+            persisted = batch.persist()
+            good, dead = split_dead_letters(batch)
+            if dead_letter_dir is not None:
+                (
+                    dead.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .parquet(f"{dead_letter_dir}/batch_id={batch_id}")
+                )
+            batch = good
         # metrics ride the merge's own actions via observe() — no extra
         # scan of the batch (batch.count() would re-read every file, a
         # full second pass at 100 TB)
@@ -231,6 +260,8 @@ def tail_changelog(
                 "wall_time": time.time(),
             }
         )
+        if persisted is not None:
+            persisted.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(apply)
@@ -240,3 +271,44 @@ def tail_changelog(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def tail_debezium(
+    spark: SparkSession,
+    envelope_dir: str,
+    lake,
+    checkpoint_dir: str,
+    *,
+    with_lang: bool = False,
+    max_files_per_trigger: int = 4,
+    dead_letter_dir: str | None = None,
+    **kwargs,
+):
+    """Tail a directory of Debezium JSON-lines envelope files (the
+    file-based stand-in for a Kafka topic) into the lake: decode →
+    dead-letter quarantine → normalize → LWW → MERGE, with the same
+    exactly-once checkpoint semantics as :func:`tail_changelog`.
+
+    On a real cluster swap the file source for ``format("kafka")`` and
+    pass ``key_col="key"``/``seq_col="offset"`` through to
+    :func:`investigraph_etl_spark.sources.debezium.decode_debezium` —
+    the decode projection is source-agnostic.
+    """
+    from investigraph_etl_spark.sources.debezium import debezium_stream
+
+    stream = debezium_stream(
+        spark,
+        envelope_dir,
+        with_lang=with_lang,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return tail_changelog(
+        spark,
+        envelope_dir,
+        lake,
+        checkpoint_dir,
+        with_lang=with_lang,
+        stream=stream,
+        dead_letter_dir=dead_letter_dir,
+        **kwargs,
+    )
