@@ -131,13 +131,17 @@ INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "16"))
 
 
 def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
-    """Two passes per query in one JVM; returns (cold, warm) timings.
+    """Three passes per query in one JVM; returns (cold, warm) timings.
 
     Pass 1 is cold (first execution: codegen, scan page-cache fill);
-    pass 2 is warm.  BOTH are published — the warm number is the
-    steady-state per-query cost, the cold number keeps the methodology
-    honest (round-1 ADVICE: a silent cold→warm switch made tables
-    incomparable across rounds)."""
+    warm = min of passes 2-3.  BOTH cold and warm are published — the
+    warm number is the steady-state per-query cost, the cold number
+    keeps the methodology honest (round-1 ADVICE: a silent cold→warm
+    switch made tables incomparable across rounds).  min-of-2 for warm
+    (round 4, pre-registered and value-blind — same estimator as every
+    CDC phase): the host's multi-second stall bursts land on random
+    queries, and a single warm pass let one burst publish a 17×-inflated
+    number (observed: a 2.3s-cold query 'warming' to 40s)."""
     import __spark_entry__ as entrymod
     from investigraph_etl_spark.session import get_spark
 
@@ -151,7 +155,7 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, f
     qs = entrymod.queries()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()
@@ -162,7 +166,7 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, f
             if name not in cold:
                 cold[name] = dt
             else:
-                warm[name] = dt
+                warm[name] = min(warm.get(name, dt), dt)
     spark.stop()
     return cold, warm
 
@@ -600,10 +604,11 @@ def write_bench_md(result: dict) -> None:
         "",
         f"## Headline queries (seconds, local[{result['cores']}], sf={result['sf']})",
         "",
-        "Two passes per query in one JVM; BOTH published.  cold = first",
-        "execution (codegen + page-cache fill), warm = second pass —",
-        "the warm column is the steady-state cost and is what the",
-        "headline total sums.",
+        "Three passes per query in one JVM; cold AND warm published.",
+        "cold = first execution (codegen + page-cache fill), warm =",
+        "min of passes 2-3 (fixed a priori; a single warm pass let one",
+        "host stall burst publish a 17× outlier) — the warm column is",
+        "the steady-state cost and is what the headline total sums.",
         "",
         "| query | warm sec | cold sec |",
         "|---|---|---|",
