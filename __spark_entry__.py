@@ -387,6 +387,21 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb, queries, k=3, n_centroids=8, nprobe=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell-bounded semantic
+    near-dup pairs → canonical-keep.  k-means isn't SQL-expressible,
+    so rows-only check; pair-precision/recall vs the exact baseline
+    and the keep-canonical invariant are asserted in tests."""
+    from investigraph_etl_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.38,
+        n_clusters=8,
+        nprobe=2,
+    )
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multimodal table derived from documents: opaque
     binary payloads + typed metadata (driver mandate: media as binary
@@ -1194,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_knn": q_ivf_knn,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

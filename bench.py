@@ -26,8 +26,10 @@ the most recent completed snapshot parseable):
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "cdc_efficiency": ...,
    "phases_done": [...]}
-Phase order: scaling pair (host coldest, the north-rule number) →
-headline queries → incremental ingest → streaming tailer; the
+Phase order: headline queries FIRST (no synthetic-log generation
+needed, so the driver's primary metric reaches a parseable line in
+minutes at any host speed) → log generation → scaling pair (the
+north-rule number) → incremental ingest → streaming tailer; the
 derived-maintenance and process-isolation studies are opt-in
 (SPARK_GRAFT_BENCH_DERIVED=1 / SPARK_GRAFT_BENCH_ISOLATION=1) since
 round 4 — they are diagnostics, not gate numbers, and their
@@ -687,6 +689,35 @@ def main() -> None:
         }), flush=True)
         return
 
+    # pair-only mode: runs ONLY log generation + the scaling pair and
+    # prints the cdc fields, touching no published artifact.  Exists so
+    # the pre-registered validity re-run (efficiency > 1.05 or rep
+    # spread > 2×) can be EXECUTED when the in-run wall-clock budget
+    # couldn't accommodate it (observed: a steal window where local[1]
+    # reps ran ~7× slow, local[4] ran after the burst passed, and the
+    # "efficiency" printed 1.76 — physically impossible for thread
+    # scaling and flagged by rule (a), but the budget cap had already
+    # consumed the in-run re-run).  The re-run discipline is unchanged:
+    # at most one, result published unconditionally next to the voided
+    # measurement.
+    if os.environ.get("SPARK_GRAFT_BENCH_PAIR_ONLY"):
+        work = tempfile.mkdtemp(prefix="bench_cdc_")
+        pair_log_dir = f"{work}/changelog_pair"
+        gen_changelog(pair_log_dir, PAIR_EVENTS)
+        runs, speedup, efficiency, pair_meta = measure_scaling_pair(
+            pair_log_dir, work
+        )
+        print("\n" + json.dumps({
+            "metric": "cdc_scaling_pair_only",
+            "pair_events": PAIR_EVENTS,
+            **pair_meta,
+            "runs": runs,
+            "speedup": speedup,
+            "efficiency": efficiency,
+        }), flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+        return
+
     # The compact stdout line is printed CUMULATIVELY after EVERY
     # completed phase (last-line-wins for the driver's tail parse):
     # round 2's single end-of-run line outgrew the capture window and
@@ -712,6 +743,25 @@ def main() -> None:
         # (observed in the r4 smoke run — the headline emit vanished)
         print("\n" + json.dumps(compact), flush=True)
 
+    # PHASE 1 — headline queries, FIRST (reordered in late round 4):
+    # this phase needs NO synthetic-log generation and finishes in
+    # minutes at any host speed, so the driver's primary metric (warm
+    # headline total) reaches a parseable stdout line almost
+    # immediately.  The earlier pair-first ordering ("host coldest at
+    # run start") left EVERYTHING — including the 16M-event log
+    # generation, observed at ~18 min in a slow co-tenancy window —
+    # ahead of the first emit; on a host that slow the driver's budget
+    # could expire with zero parseable output, which is exactly the
+    # r2/r3 failure this file exists to prevent.  The coldest-host
+    # argument it trades away is weak: the pair reps run in fresh
+    # subprocess JVMs either way, and co-tenant steal is uncontrolled
+    # at any point in the run.  The ordering is fixed a priori and
+    # value-blind.
+    cold, warm = run_headline(sf_dir, cores)
+    compact["value"] = round(sum(warm.values()), 3)
+    compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
+    emit("headline")
+
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     log_dir = f"{work}/changelog"
     gen_changelog(log_dir)
@@ -721,12 +771,9 @@ def main() -> None:
         pair_log_dir = f"{work}/changelog_pair"
         gen_changelog(pair_log_dir, PAIR_EVENTS)
 
-    # PHASE 1 — scaling pair, FIRST: the host is coldest at run start
-    # (no page-cache churn or JIT-heated co-tenancy from earlier
-    # phases), and this is the one number the driver's gate has lost
-    # two rounds running.  Fixed rep count; two pre-registered VALIDITY
-    # (not pass/fail) rules, each triggering at most ONE full re-run
-    # whose result is published unconditionally, pass or fail:
+    # PHASE 2 — scaling pair.  Fixed rep count; two pre-registered
+    # VALIDITY (not pass/fail) rules, each triggering at most ONE full
+    # re-run whose result is published unconditionally, pass or fail:
     #   (a) efficiency > 1.05 — physically implausible for thread
     #       scaling (the SLOW level's reps were all hypervisor-stolen);
     #   (b) within-level rep spread max/min > 2.0 — the same job in a
@@ -777,12 +824,6 @@ def main() -> None:
         "cdc_best_events_per_sec": max(r["events_per_sec"] for r in runs),
     })
     emit("scaling_pair")
-
-    # PHASE 2 — headline queries (the driver's primary metric)
-    cold, warm = run_headline(sf_dir, cores)
-    compact["value"] = round(sum(warm.values()), 3)
-    compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
-    emit("headline")
 
     # PHASE 3 — sustained incremental ingest (merge-on-read path): the
     # same log as INC_BATCHES sequential merge commits into one lake —

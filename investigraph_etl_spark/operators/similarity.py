@@ -339,6 +339,8 @@ def ivf_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:  # empty corpus: no cells — callers' kernels skip
+        return np.zeros((0, 0))
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -423,6 +425,8 @@ def ivf_knn(
     cent = ivf_centroids(
         embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
+    if not len(cent):  # empty corpus — same contract as empty queries
+        return _empty_knn_result(embeddings.sparkSession)
     nq, nc = len(q_ids), len(cent)
     p = min(nprobe, nc)
     probes = np.argpartition(-(q_mat @ cent.T), p - 1, axis=1)[:, :p]  # (nq, p)
@@ -678,3 +682,185 @@ def lsh_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 4).alias("cosine"))
     )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    nprobe: int = 1,
+    sample: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile: int = 4096,
+) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means the embedding space into
+    ``n_clusters`` cells, then exact pairwise cosine ONLY within each
+    cell — pairs ``(id_a < id_b, cosine ≥ threshold)``.
+
+    Why a third pair generator next to :func:`exact_cosine_pairs` /
+    :func:`lsh_near_dup_pairs`: the k-means partition is the published
+    recipe for *semantic* (lower-threshold, meaning-level) dedup, where
+    hyperplane-LSH recall degrades — at θ≈0.95 an LSH bucket must agree
+    on every bit, while a k-means cell groups by the same geometry the
+    threshold measures.  Approximation contract (paper §3): a pair
+    split across cells is missed; raise ``nprobe`` to assign each
+    vector its ``nprobe`` nearest cells (pairs then dedup across cells
+    exactly like the LSH tables path — cosine is deterministic per
+    pair) to trade compute for recall.  Recall vs the exact baseline is
+    measured in tests.
+
+    Scale shape (the reason this survives 100 TB where all-pairs
+    can't): compute is Σ n_c² over cells, so ``n_clusters`` is the
+    knob — size it ~ corpus/50k so a cell's worth of vectors fits one
+    task (the paper uses 11k clusters for LAION-440M).  The quantizer
+    is trained driver-side on a bounded seeded sample
+    (:func:`ivf_centroids` — tiny, broadcast), assignment is one
+    mapInPandas matmul per Arrow batch, and each cell is one
+    ``applyInPandas`` group whose kernel runs TILED matmuls
+    (``tile``×``tile`` blocks over the upper triangle), so task memory
+    is O(cell·dim + tile²) — a skewed cell costs time, never an OOM.
+    The keep-policy downstream (:func:`semantic_dedup`) is the
+    engine-wide canonical = component min id, a deterministic stand-in
+    for the paper's keep-farthest-from-centroid (which ties to the
+    random quantizer; min-id is reproducible across runs and engines).
+    """
+    cent = ivf_centroids(
+        embeddings,
+        n_centroids=n_clusters,
+        sample=sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(cent)
+    p = max(1, min(nprobe, len(cent)))
+
+    assign_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("id", LongType()),
+            StructField(
+                "vec", embeddings.schema[vec_col].dataType
+            ),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cent_.T  # (N, C)
+            if p == 1:
+                cells = np.argmax(sims, axis=1)[:, None]
+            else:
+                cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    "cell": cells.ravel().astype(np.int64),
+                    "id": np.repeat(ids, p),
+                    "vec": list(np.repeat(pdf[vec_col].to_numpy(), p)),
+                }
+            )
+
+    rows = fan_out(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, assign_schema
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    _empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return _empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # nprobe>1 can land the same id in one cell twice only across
+        # DIFFERENT cells, never within one (top-p cells are distinct),
+        # so no intra-cell id dedup is needed.
+        frames = []
+        for i0 in range(0, n, tile):
+            a = mat[i0 : i0 + tile]
+            a_ids = ids[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                sims = a @ mat[j0 : j0 + tile].T
+                # strict upper triangle in GLOBAL row order: positions,
+                # not id values, so exact-duplicate vectors with any id
+                # ordering emit exactly once per cell
+                gi = np.arange(i0, min(i0 + tile, n))[:, None]
+                gj = np.arange(j0, min(j0 + tile, n))[None, :]
+                mask = (sims >= threshold) & (gi < gj)
+                ai, bj = np.nonzero(mask)
+                if not len(ai):
+                    continue
+                ra, rb = a_ids[ai], ids[j0 + bj]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ra, rb),
+                            "id_b": np.maximum(ra, rb),
+                            "cosine": sims[ai, bj],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else _empty
+
+    return (
+        rows.groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
+        # same pair re-found in ≥2 cells (nprobe>1): dedup on the id
+        # pair alone — see the LSH-tables note above on BLAS last-bit
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 4).alias("cosine"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    nprobe: int = 1,
+    sample: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end SemDeDup pass: :func:`semantic_dedup_pairs` →
+    connected components → keep one canonical row (component min id)
+    per semantic-dup cluster, singletons untouched.  The drop set is
+    ≤ #duplicates, so the final filter is one broadcast anti-join —
+    the corpus itself is never shuffled by similarity."""
+    from investigraph_etl_spark.operators.dedup import dedup_keep_canonical
+
+    pairs = semantic_dedup_pairs(
+        df,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        sample=sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return dedup_keep_canonical(df, pairs, id_col=id_col)
