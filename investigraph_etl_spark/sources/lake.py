@@ -76,6 +76,83 @@ _INTERNAL = [
 _COMMIT = StructField("_commit", LongType(), True)
 
 
+class SchemaCompatibilityError(ValueError):
+    """An incoming change batch's schema cannot be applied to the
+    table under the active schema policy (see
+    :func:`check_schema_compatibility`)."""
+
+
+# Lossless implicit widenings a batch column may take INTO the stored
+# table type (Iceberg's type-promotion table, applied in the batch→
+# table direction): the integer chain and float→double.  long→double
+# is NOT here (loses precision past 2^53), nor is any narrowing or
+# kind change — those are breaking.
+_WIDEN_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _type_accepts(table_t, batch_t) -> bool:
+    """True iff a batch column of ``batch_t`` can be applied to a
+    stored column of ``table_t`` without loss: equal, a lossless
+    widening, or (recursively) array/map/struct of such."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if table_t == batch_t:
+        return True
+    tn, bn = table_t.typeName(), batch_t.typeName()
+    for chain in _WIDEN_CHAINS:
+        if bn in chain and tn in chain:
+            return chain.index(bn) <= chain.index(tn)
+    if isinstance(table_t, ArrayType) and isinstance(batch_t, ArrayType):
+        return _type_accepts(table_t.elementType, batch_t.elementType)
+    if isinstance(table_t, MapType) and isinstance(batch_t, MapType):
+        return _type_accepts(table_t.keyType, batch_t.keyType) and _type_accepts(
+            table_t.valueType, batch_t.valueType
+        )
+    if isinstance(table_t, StructType) and isinstance(batch_t, StructType):
+        if {f.name for f in table_t.fields} != {f.name for f in batch_t.fields}:
+            return False  # nested add/drop: handled only at top level
+        return all(
+            _type_accepts(table_t[f.name].dataType, f.dataType)
+            for f in batch_t.fields
+        )
+    return False
+
+
+def check_schema_compatibility(
+    table: StructType, batch: StructType, *, meta: set[str] = frozenset()
+) -> dict:
+    """Classify an incoming batch schema against the stored table
+    schema — DRIVER-side, before any job runs.  Returns
+    ``{"additive": [names], "missing": [names], "breaking":
+    [(name, batch_type, table_type)]}``.
+
+    Why a gate instead of the blanket ``cast`` the merge used to do:
+    under Spark's default ANSI mode a producer-side type change (e.g.
+    ``n_tok`` int→string) survives analysis and then throws from an
+    executor mid-job — after shuffle work is spent, with a stack trace
+    pointing nowhere near the producer.  With ANSI off it is worse:
+    the cast silently yields nulls/truncation and corrupts the table.
+    A 10^10-event stream needs the clean failure at the driver with
+    the offending column named.  ``meta`` columns (seq/op) are
+    exempt — they are consumed by the merge itself, not stored."""
+    batch_names = {f.name for f in batch.fields}
+    additive = [
+        f.name for f in batch.fields
+        if f.name not in {x.name for x in table.fields} and f.name not in meta
+    ]
+    missing = [f.name for f in table.fields if f.name not in batch_names]
+    breaking = [
+        (f.name, batch[f.name].dataType.simpleString(), f.dataType.simpleString())
+        for f in table.fields
+        if f.name in batch_names
+        and not _type_accepts(f.dataType, batch[f.name].dataType)
+    ]
+    return {"additive": additive, "missing": missing, "breaking": breaking}
+
+
 class HashLakeTable:
     """Hash-bucketed parquet table with snapshot manifests.
 
@@ -748,6 +825,7 @@ class HashLakeTable:
         auto_compact_deltas: int = 8,
         reduce_batch: bool = True,
         compact_mode: str = "sync",
+        schema_policy: str = "evolve",
     ) -> dict:
         """Apply one change batch (raw or pre-reduced — in-batch LWW
         runs here) as a merge-on-read delta commit.
@@ -802,10 +880,44 @@ class HashLakeTable:
         # fold any finished background compaction into this commit
         self._harvest_compaction(block=False)
 
-        # 1. schema evolution: promote new payload columns
+        # 1. schema gate + evolution (driver-side, before any job):
+        #    additive columns promote, absent columns null-fill,
+        #    lossless widenings (int→long, float→double, recursively
+        #    through array/map/struct) cast up — anything else raises
+        #    HERE with the column named, instead of an executor-side
+        #    ANSI cast error (or, ANSI off, silent null corruption)
+        #    after shuffle work is already spent.
+        #    ``schema_policy="strict"`` additionally rejects ANY drift
+        #    (additive or absent) — the locked-schema production mode.
+        for required in (self.key, seq, op):
+            if required not in batch.columns:
+                raise SchemaCompatibilityError(
+                    f"merge batch is missing required column {required!r} "
+                    f"(key/sequence/op); batch columns: {batch.columns}"
+                )
+        compat = check_schema_compatibility(
+            self.schema, batch.schema, meta={seq, op}
+        )
+        if compat["breaking"]:
+            detail = ", ".join(
+                f"{n}: batch {bt} cannot be applied to stored {tt}"
+                for n, bt, tt in compat["breaking"]
+            )
+            raise SchemaCompatibilityError(
+                f"incompatible change-batch schema ({detail}); allowed: "
+                "equal types or lossless widenings (byte<short<int<long, "
+                "float<double, recursively inside array/map/struct).  "
+                "Fix the producer, or migrate the table explicitly."
+            )
+        if schema_policy == "strict" and (compat["additive"] or compat["missing"]):
+            raise SchemaCompatibilityError(
+                f"schema_policy='strict' rejects drift: additive="
+                f"{compat['additive']}, absent={compat['missing']}"
+            )
         meta = {self.key, seq, op}
-        batch_payload = [f for f in batch.schema.fields if f.name not in meta]
-        self.add_columns(batch_payload)
+        self.add_columns(
+            [batch.schema[n] for n in compat["additive"] if n not in meta]
+        )
         pay_cols = [f.name for f in self.schema.fields]
 
         # 2. change rows → target row shape (+ internal columns)
