@@ -543,6 +543,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 
+def q_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-domain decontamination (the north rule's table stores
+    ``tokens:array<int>``, not text): token ids derived 1:1 from words
+    by the engine-portable md5 recipe, then a deterministic 5%%
+    hash-slice plays the eval set and every remaining doc sharing a
+    4-token gram is reported with its distinct-hit count.  Benchmark
+    gram vocab broadcasts; the corpus is never shuffled by gram."""
+    from investigraph_etl_spark.operators.decontaminate import (
+        token_contamination_report,
+    )
+    from investigraph_etl_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    tokens = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    toks = docs.select("doc_id", tokens.alias("tokens"))
+    is_bench = hash_uniform("doc_id") < 0.05
+    report = token_contamination_report(
+        toks.filter(~is_bench), toks.filter(is_bench), n=4
+    )
+    return report.select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's last mile, composed from two oracle-checked
     operators: pack the corpus into 256-token training sequences
@@ -1200,9 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_time_travel": q_lake_time_travel,
         "lake_change_feed": q_lake_change_feed,
         "debezium_decode": q_debezium_decode,
-        # slot 50 — rows-only (no SQL-expressible oracle):
-        "minhash_lsh": q_minhash_lsh,
+        "token_decontaminate": q_token_decontaminate,
         # past the 50-entry driver window — rows-only, pytest-covered:
+        "minhash_lsh": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_knn": q_lsh_knn,
         "bpe_train": q_bpe_train,
@@ -1583,6 +1614,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT corp.doc_id, COUNT(DISTINCT corp.s) AS n_hits
             FROM corp JOIN bench ON corp.s = bench.s
+            GROUP BY 1
+        """,
+        "token_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+                       / 4294967296.0 < 0.05 AS is_bench,
+                     list_transform(
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x != ''),
+                       x -> CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)) AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, is_bench,
+                     CASE WHEN len(toks) >= 4 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+3], '-')))
+                     ELSE [array_to_string(toks, '-')] END AS grams
+              FROM w WHERE len(toks) > 0
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS g FROM sh WHERE is_bench
+            ), corp AS (
+              SELECT doc_id, unnest(grams) AS g FROM sh WHERE NOT is_bench
+            )
+            SELECT corp.doc_id, COUNT(DISTINCT corp.g) AS n_hits
+            FROM corp JOIN bench ON corp.g = bench.g
             GROUP BY 1
         """,
         "lake_point_lookup": """

@@ -75,3 +75,91 @@ def test_case_insensitive_matching(spark):
     )
     got = contamination_report(spark_docs, b, n=4).collect()
     assert len(got) == 1 and got[0]["n_hits"] == 2
+
+
+# ------------------------------------------------------- tokens domain
+
+
+def _tokenize(spark, docs):
+    """Word→token-id derivation (md5 recipe) shared by the gate query."""
+    from pyspark.sql import functions as F
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    tokens = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    return docs.select("doc_id", tokens.alias("tokens"))
+
+
+def test_token_report_equals_text_report(spark, corpus, bench):
+    """The md5 word→id map is injective on any real vocabulary, so
+    token-gram overlap must reproduce word-gram overlap exactly."""
+    from investigraph_etl_spark.operators.decontaminate import (
+        token_contamination_report,
+    )
+
+    text_rep = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_report(corpus, bench, n=4).collect()
+    }
+    tok_rep = {
+        r["doc_id"]: r["n_hits"]
+        for r in token_contamination_report(
+            _tokenize(spark, corpus), _tokenize(spark, bench), n=4
+        ).collect()
+    }
+    assert tok_rep == text_rep
+
+
+def test_token_short_doc_whole_array_gram(spark):
+    from investigraph_etl_spark.operators.decontaminate import (
+        token_contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [7, 8]), (2, [7, 8, 9])], "doc_id long, tokens array<long>"
+    )
+    bench = spark.createDataFrame([(9, [7, 8])], "doc_id long, tokens array<long>")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in token_contamination_report(docs, bench, n=4).collect()
+    }
+    # doc 1's whole-array gram "7-8" matches bench's whole-array gram;
+    # doc 2's whole-array gram "7-8-9" does not
+    assert got == {1: 1}
+
+
+def test_token_null_and_empty_emit_nothing(spark):
+    from investigraph_etl_spark.operators.decontaminate import (
+        token_contamination_report,
+        token_shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, []), (3, [5])], "doc_id long, tokens array<long>"
+    )
+    assert token_shingle_rows(docs, n=4).count() == 1  # only doc 3
+    bench = spark.createDataFrame([(9, [5])], "doc_id long, tokens array<long>")
+    got = {
+        r["doc_id"] for r in token_contamination_report(docs, bench, n=4).collect()
+    }
+    assert got == {3}
+
+
+def test_drop_token_contaminated(spark):
+    from investigraph_etl_spark.operators.decontaminate import (
+        drop_token_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 9]), (2, [5, 6, 7, 8])],
+        "doc_id long, tokens array<long>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [1, 2, 3, 4])], "doc_id long, tokens array<long>"
+    )
+    kept = {r["doc_id"] for r in drop_token_contaminated(docs, bench, n=4).collect()}
+    assert kept == {2}
