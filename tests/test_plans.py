@@ -210,3 +210,23 @@ def test_queries_ordering_keeps_oracle_keys_in_driver_window():
     )
     # every oracle key must also have a query (no orphan oracles)
     assert oracle_keys <= set(qs)
+
+
+def test_token_decontaminate_broadcasts_bench_vocab(spark):
+    """The benchmark gram vocabulary must reach the corpus as a
+    broadcast (the corpus is never shuffled by gram): exactly one
+    BroadcastHashJoin, zero SortMergeJoin."""
+    plan = explain_str(entry.q_token_decontaminate(spark, SF))
+    t = tree(plan)
+    assert t.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in t
+
+
+def test_semantic_dedup_broadcasts_drop_set(spark):
+    """SemDeDup's final canonical-keep is a broadcast anti-join of the
+    (tiny) drop set — the corpus itself is never shuffled by
+    similarity: one BroadcastHashJoin, zero SortMergeJoin."""
+    plan = explain_str(entry.q_semantic_dedup(spark, SF))
+    t = tree(plan)
+    assert t.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in t
