@@ -280,17 +280,68 @@ def minhash_signatures(
     )
 
 
+#: Modulus of the engine-portable MinHash family: 2^31 - 1 (prime).
+#: Chosen so every intermediate of ``(a*x + b) % p`` fits a signed
+#: 64-bit integer in BOTH engines ((p-1)² ≈ 4.6e18 < 2^63), which is
+#: what lets DuckDB reproduce signatures bit-for-bit in the gate oracle.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic ``(a_i, b_i)`` coefficients of the universal hash
+    family ``h_i(x) = (a_i·x + b_i) mod p`` used by
+    :func:`minhash_signatures_from_shingles`.  Derived from md5 so the
+    recipe is engine-portable: the driver-gate oracle recomputes the
+    SAME constants (they are inlined into the generated SQL) and DuckDB
+    reproduces every signature exactly."""
+    from hashlib import md5
+
+    def h32(s: str) -> int:
+        return int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    p = MINHASH_PRIME
+    return [
+        (h32(f"{seed}:a:{i}") % (p - 1) + 1, h32(f"{seed}:b:{i}") % p)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_shingle_base(shingle: Column) -> Column:
+    """The per-shingle 31-bit base value ``x = md5_32(shingle) mod p``
+    every hash in the family is applied to — ONE digest per shingle
+    (the round-4 family paid ``num_hashes`` xxhash64 evaluations per
+    shingle; the universal family pays one md5 plus ``num_hashes``
+    multiply-mods, and is reproducible in ANSI SQL:
+    ``CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) % p`` in DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME)
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, *, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """The signature aggregation over prebuilt ``(id, shingle)`` rows —
     shared by :func:`minhash_signatures` (word shingles) and the
-    incremental index (token n-grams, minhash_index.py)."""
+    incremental index (token n-grams, minhash_index.py).
+
+    Round-5 change (VERDICT r4 task 1): the hash family is the
+    engine-portable universal family over one md5 base per shingle
+    (see :func:`minhash_hash_params`) instead of per-``i`` xxhash64 —
+    same one-explode + one-k-min-agg plan shape, but the driver gate
+    can now VALUE-check the LSH candidates against a DuckDB oracle
+    running the identical integer math."""
+    params = minhash_hash_params(num_hashes, seed)
+    x = minhash_shingle_base(F.col("shingle"))
+    base = sh.select("id", x.alias("_x"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(params)
     ]
-    sig = sh.groupBy("id").agg(*mins)
+    sig = base.groupBy("id").agg(*mins)
     return sig.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
     )

@@ -121,13 +121,48 @@ def _type_accepts(table_t, batch_t) -> bool:
     return False
 
 
+def _has_nested_field_drift(table_t, batch_t) -> bool:
+    """True iff the (recursive) reason ``table_t`` rejects ``batch_t``
+    is a nested struct field ADD/DROP — the one drift class the gate
+    handles only at top level.  Lets the error message name the real
+    cause instead of the misleading 'equal types or lossless
+    widenings' (ADVICE r4)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(table_t, StructType) and isinstance(batch_t, StructType):
+        tn = {f.name for f in table_t.fields}
+        bn = {f.name for f in batch_t.fields}
+        if tn != bn:
+            return True
+        return any(
+            _has_nested_field_drift(table_t[f.name].dataType, f.dataType)
+            for f in batch_t.fields
+        )
+    if isinstance(table_t, ArrayType) and isinstance(batch_t, ArrayType):
+        return _has_nested_field_drift(table_t.elementType, batch_t.elementType)
+    if isinstance(table_t, MapType) and isinstance(batch_t, MapType):
+        return _has_nested_field_drift(
+            table_t.keyType, batch_t.keyType
+        ) or _has_nested_field_drift(table_t.valueType, batch_t.valueType)
+    return False
+
+
 def check_schema_compatibility(
     table: StructType, batch: StructType, *, meta: set[str] = frozenset()
 ) -> dict:
     """Classify an incoming batch schema against the stored table
     schema — DRIVER-side, before any job runs.  Returns
     ``{"additive": [names], "missing": [names], "breaking":
-    [(name, batch_type, table_type)]}``.
+    [(name, batch_type, table_type)], "promote": [(name, batch_type,
+    table_type)], "nested": [(name, batch_type, table_type)]}``.
+
+    ``promote`` (round-5, ADVICE r4): columns where the BATCH is the
+    wider type along the same lossless chains (e.g. batch long into a
+    stored int) — the mirror of Iceberg's type promotion.  In evolve
+    mode the merge promotes the STORED column type up; strict mode
+    rejects.  ``nested`` separates the one drift class the gate
+    handles only at top level — nested struct field add/drop — so the
+    error can name the real cause.
 
     Why a gate instead of the blanket ``cast`` the merge used to do:
     under Spark's default ANSI mode a producer-side type change (e.g.
@@ -144,13 +179,27 @@ def check_schema_compatibility(
         if f.name not in {x.name for x in table.fields} and f.name not in meta
     ]
     missing = [f.name for f in table.fields if f.name not in batch_names]
-    breaking = [
-        (f.name, batch[f.name].dataType.simpleString(), f.dataType.simpleString())
-        for f in table.fields
-        if f.name in batch_names
-        and not _type_accepts(f.dataType, batch[f.name].dataType)
-    ]
-    return {"additive": additive, "missing": missing, "breaking": breaking}
+    breaking, promote, nested = [], [], []
+    for f in table.fields:
+        if f.name not in batch_names:
+            continue
+        bt = batch[f.name].dataType
+        if _type_accepts(f.dataType, bt):
+            continue
+        entry = (f.name, bt.simpleString(), f.dataType.simpleString())
+        if _type_accepts(bt, f.dataType):
+            promote.append(entry)
+        elif _has_nested_field_drift(f.dataType, bt):
+            nested.append(entry)
+        else:
+            breaking.append(entry)
+    return {
+        "additive": additive,
+        "missing": missing,
+        "breaking": breaking,
+        "promote": promote,
+        "nested": nested,
+    }
 
 
 class HashLakeTable:
@@ -811,6 +860,40 @@ class HashLakeTable:
         }
         self._commit_manifest()
 
+    def promote_columns(self, promotions: list[tuple[str, "DataType"]]) -> None:
+        """Widen stored column TYPES along the lossless chains
+        (Iceberg type promotion, round-5 ADVICE r4): a schema-only
+        commit that rewrites the manifest types; data files are NOT
+        rewritten — Spark's parquet reader widens old files' values at
+        scan time (int32→long, float→double are in its supported
+        widening set), which :meth:`_scan`'s explicit schema relies on.
+        Only lossless widenings are accepted (the same ``_type_accepts``
+        test, reversed); anything else raises."""
+        by_name = {f.name: f for f in self.schema.fields}
+        changed = False
+        for name, new_t in promotions:
+            f = by_name.get(name)
+            if f is None:
+                raise KeyError(f"no such column {name!r}")
+            if f.dataType == new_t:
+                continue
+            if not _type_accepts(new_t, f.dataType):
+                raise SchemaCompatibilityError(
+                    f"cannot promote {name!r}: {f.dataType.simpleString()} → "
+                    f"{new_t.simpleString()} is not a lossless widening"
+                )
+            by_name[name] = StructField(name, new_t, f.nullable, f.metadata)
+            changed = True
+        if not changed:
+            return
+        schema = StructType([by_name[f.name] for f in self.schema.fields])
+        self._manifest = {
+            **self._manifest,
+            "version": self.version + 1,
+            "schema": json.loads(schema.json()),
+        }
+        self._commit_manifest()
+
     # ----------------------------------------------------------- merge
     def merge(
         self,
@@ -898,25 +981,45 @@ class HashLakeTable:
         compat = check_schema_compatibility(
             self.schema, batch.schema, meta={seq, op}
         )
-        if compat["breaking"]:
+        if compat["breaking"] or compat["nested"]:
             detail = ", ".join(
                 f"{n}: batch {bt} cannot be applied to stored {tt}"
                 for n, bt, tt in compat["breaking"]
             )
+            nested_detail = ", ".join(
+                f"{n}: batch {bt} adds/drops NESTED struct fields vs "
+                f"stored {tt} (nested field evolution is supported only "
+                "at top level)"
+                for n, bt, tt in compat["nested"]
+            )
             raise SchemaCompatibilityError(
-                f"incompatible change-batch schema ({detail}); allowed: "
-                "equal types or lossless widenings (byte<short<int<long, "
-                "float<double, recursively inside array/map/struct).  "
+                "incompatible change-batch schema ("
+                + "; ".join(x for x in (detail, nested_detail) if x)
+                + "); allowed: equal types or lossless widenings "
+                "(byte<short<int<long, float<double, recursively inside "
+                "array/map/struct) — nested struct field add/drop is not.  "
                 "Fix the producer, or migrate the table explicitly."
             )
-        if schema_policy == "strict" and (compat["additive"] or compat["missing"]):
+        if schema_policy == "strict" and (
+            compat["additive"] or compat["missing"] or compat["promote"]
+        ):
             raise SchemaCompatibilityError(
                 f"schema_policy='strict' rejects drift: additive="
-                f"{compat['additive']}, absent={compat['missing']}"
+                f"{compat['additive']}, absent={compat['missing']}, "
+                f"promote={compat['promote']}"
             )
         meta = {self.key, seq, op}
         self.add_columns(
             [batch.schema[n] for n in compat["additive"] if n not in meta]
+        )
+        # batch wider than stored (e.g. producer int→long): promote the
+        # STORED type up the same lossless chain (Iceberg promotion,
+        # round-5 ADVICE r4) — schema-only commit, no file rewrite.
+        # The key column may promote too: Spark's hash expressions
+        # normalize integral types to long, so bucket assignment is
+        # unchanged.  (seq/op never appear — they are not table columns.)
+        self.promote_columns(
+            [(n, batch.schema[n].dataType) for n, _bt, _tt in compat["promote"]]
         )
         pay_cols = [f.name for f in self.schema.fields]
 

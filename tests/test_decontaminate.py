@@ -89,14 +89,17 @@ def _tokenize(spark, docs):
         lambda w: w != F.lit(""),
     )
     tokens = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("long")
     )
     return docs.select("doc_id", tokens.alias("tokens"))
 
 
 def test_token_report_equals_text_report(spark, corpus, bench):
-    """The md5 word→id map is injective on any real vocabulary, so
-    token-gram overlap must reproduce word-gram overlap exactly."""
+    """The 48-bit md5 word→id map is collision-free far past realistic
+    vocabulary sizes (birthday bound ~2^24 ≈ 16M distinct words for a
+    50% collision chance — ADVICE r4 widened it from 32 bits, where
+    ~77k words already made collisions likely), so token-gram overlap
+    must reproduce word-gram overlap exactly."""
     from investigraph_etl_spark.operators.decontaminate import (
         token_contamination_report,
     )

@@ -51,19 +51,35 @@ def test_classification_matrix():
     assert out["breaking"] == []
 
 
-def test_narrowing_and_kind_change_are_breaking():
+def test_wider_batch_classifies_as_promote_kind_change_as_breaking():
+    # round-5 (ADVICE r4): a batch WIDER than the stored type is a
+    # table-side promotion, not a breaking change; a kind change stays
+    # breaking.  Directions are reported batch→table in both lists.
     table = _st(("a", IntegerType()), ("b", StringType()))
     batch = _st(("a", LongType()), ("b", IntegerType()))
     out = check_schema_compatibility(table, batch)
-    assert {n for n, _, _ in out["breaking"]} == {"a", "b"}
-    # and the directions are reported batch→table
-    assert ("a", "bigint", "int") in out["breaking"]
+    assert out["promote"] == [("a", "bigint", "int")]
+    assert out["breaking"] == [("b", "int", "string")]
 
 
-def test_nested_array_element_narrowing_is_breaking():
+def test_nested_array_element_widening_is_promote():
     table = _st(("tokens", ArrayType(IntegerType())))
     batch = _st(("tokens", ArrayType(LongType())))
-    assert check_schema_compatibility(table, batch)["breaking"]
+    out = check_schema_compatibility(table, batch)
+    assert out["promote"] == [("tokens", "array<bigint>", "array<int>")]
+    assert not out["breaking"]
+
+
+def test_nested_struct_field_add_is_its_own_category():
+    from pyspark.sql.types import StructType as ST
+
+    table = _st(("meta", ST([StructField("w", IntegerType())])))
+    batch = _st(
+        ("meta", ST([StructField("w", IntegerType()), StructField("h", IntegerType())]))
+    )
+    out = check_schema_compatibility(table, batch)
+    assert [n for n, _, _ in out["nested"]] == ["meta"]
+    assert not out["breaking"] and not out["promote"]
 
 
 # --------------------------------------------------- merge integration
@@ -117,14 +133,37 @@ def test_breaking_type_change_raises_at_driver(spark, lake):
     assert lake.read().count() == 0  # nothing committed
 
 
-def test_tokens_element_narrowing_raises(spark, lake):
-    rows = [("d1", [2**40], 1, "s", 1, "insert")]
+def test_tokens_element_widening_promotes_stored_type(spark, lake):
+    # round-5 (ADVICE r4): producer widened tokens to array<long> —
+    # evolve mode promotes the STORED column type (schema-only commit;
+    # pre-promotion int32 files widen at scan time), so a value past
+    # 2^31 survives alongside rows written before the promotion.
+    lake.merge(_batch(spark, [("d0", [5], 1, "s", 1, "insert")], _OK_SCHEMA), 0)
+    rows = [("d1", [2**40], 1, "s", 2, "insert")]
     schema = (
         "doc_id string, tokens array<long>, n_tok long, source string, "
         "event_sequence long, op string"
     )
-    with pytest.raises(SchemaCompatibilityError, match="tokens"):
-        lake.merge(_batch(spark, rows, schema), 0)
+    lake.merge(_batch(spark, rows, schema), 1)
+    assert lake.schema["tokens"].dataType == ArrayType(LongType())
+    got = {r["doc_id"]: list(r["tokens"]) for r in lake.read().collect()}
+    assert got == {"d0": [5], "d1": [2**40]}
+
+
+def test_nested_struct_field_add_raises_with_nested_named(spark, tmp_path):
+    from pyspark.sql.types import StructType as ST
+
+    schema = _st(
+        ("doc_id", StringType()),
+        ("meta", ST([StructField("w", LongType())])),
+    )
+    lake = HashLakeTable.create(spark, str(tmp_path / "ln"), schema, num_buckets=2)
+    batch = spark.createDataFrame(
+        [("d1", (1, 2), 1, "insert")],
+        "doc_id string, meta struct<w long, h long>, event_sequence long, op string",
+    )
+    with pytest.raises(SchemaCompatibilityError, match="NESTED struct"):
+        lake.merge(batch, 0)
 
 
 def test_missing_required_column_raises(spark, lake):
@@ -149,6 +188,14 @@ def test_strict_policy_rejects_additive_and_absent(spark, lake):
     )
     with pytest.raises(SchemaCompatibilityError, match="strict"):
         lake.merge(_batch(spark, absent, absent_schema), 0, schema_policy="strict")
+    # strict also rejects a type promotion (locked-schema mode)
+    wide = [("d1", [2**40], 1, "s", 1, "insert")]
+    wide_schema = (
+        "doc_id string, tokens array<long>, n_tok long, source string, "
+        "event_sequence long, op string"
+    )
+    with pytest.raises(SchemaCompatibilityError, match="strict"):
+        lake.merge(_batch(spark, wide, wide_schema), 0, schema_policy="strict")
     # exact schema passes under strict
     ok = [("d1", [1], 1, "s", 1, "insert")]
     lake.merge(_batch(spark, ok, _OK_SCHEMA), 0, schema_policy="strict")
