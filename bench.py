@@ -133,17 +133,22 @@ INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "16"))
 
 
 def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
-    """Three passes per query in one JVM; returns (cold, warm) timings.
+    """Four passes per query in one JVM; returns (cold, warm) timings.
 
     Pass 1 is cold (first execution: codegen, scan page-cache fill);
-    warm = min of passes 2-3.  BOTH cold and warm are published — the
+    warm = min of passes 2-4.  BOTH cold and warm are published — the
     warm number is the steady-state per-query cost, the cold number
     keeps the methodology honest (round-1 ADVICE: a silent cold→warm
-    switch made tables incomparable across rounds).  min-of-2 for warm
-    (round 4, pre-registered and value-blind — same estimator as every
-    CDC phase): the host's multi-second stall bursts land on random
-    queries, and a single warm pass let one burst publish a 17×-inflated
-    number (observed: a 2.3s-cold query 'warming' to 40s)."""
+    switch made tables incomparable across rounds).  min-of-3 for warm
+    (round 5, pre-registered and value-blind — VERDICT r4 task 2; the
+    same estimator as every CDC phase, one more rep): with min-of-2 a
+    single multi-minute hypervisor steal burst could still cover both
+    warm passes of one query and publish a 3× number for unchanged
+    code (observed in the r4 driver window: repetition_signals 3.53s
+    driver-published vs 1.10s for the identical plan in a healthy
+    window; r2 history: a 2.3s-cold query 'warming' to 40s with a
+    single warm pass).  Cost of the extra pass ≈ one warm headline
+    total (~20s) — cheap insurance on the driver's primary metric."""
     import __spark_entry__ as entrymod
     from investigraph_etl_spark.session import get_spark
 
@@ -157,7 +162,7 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, f
     qs = entrymod.queries()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()
@@ -606,11 +611,13 @@ def write_bench_md(result: dict) -> None:
         "",
         f"## Headline queries (seconds, local[{result['cores']}], sf={result['sf']})",
         "",
-        "Three passes per query in one JVM; cold AND warm published.",
+        "Four passes per query in one JVM; cold AND warm published.",
         "cold = first execution (codegen + page-cache fill), warm =",
-        "min of passes 2-3 (fixed a priori; a single warm pass let one",
-        "host stall burst publish a 17× outlier) — the warm column is",
-        "the steady-state cost and is what the headline total sums.",
+        "min of passes 2-4 (fixed a priori, round 5; min-of-2 let one",
+        "multi-minute steal burst cover both warm passes and publish a",
+        "3× number for unchanged code in the r4 driver window) — the",
+        "warm column is the steady-state cost, summed by the headline",
+        "total.",
         "",
         "| query | warm sec | cold sec |",
         "|---|---|---|",

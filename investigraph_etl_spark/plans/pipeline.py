@@ -114,14 +114,30 @@ def load_config(path: str, *, validate_schemata: bool = True) -> PipelineConfig:
         load = {"uri": load}
     export = doc.get("export", {}) or {}
 
+    def _playbook(spec: dict) -> tuple[dict, list]:
+        """A ``pandas:`` value in EITHER shape → (read options, ops):
+        the reference's runpandarun playbook ``{read: {options: {...}},
+        operations: [...]}`` (ec_meetings/config.yml:27-35) or this
+        repo's historical flat options dict ``{skiprows: 1}``."""
+        spec = dict(spec or {})
+        if "read" in spec or "operations" in spec:
+            read = dict(spec.get("read", {}) or {})
+            opts = dict(read.get("options", {}) or {})
+            return opts, list(spec.get("operations", []) or [])
+        return spec, []
+
+    # stage-level playbook is the default every source merges over
+    # (reference model/stage.py:65-73: pydantic_merge(stage, source))
+    stage_opts, stage_ops = _playbook(extract.get("pandas"))
     sources = []
     for s in extract.get("sources", []) or []:
-        opts = dict(s.get("pandas", {}) or {})
+        src_opts, src_ops = _playbook(s.get("pandas"))
         sources.append(
             Source(
                 uri=_abs(base, s["uri"]),
                 name=s.get("name"),
-                options=opts,
+                options={**stage_opts, **src_opts},
+                operations=src_ops or stage_ops,
                 limit=s.get("limit"),
                 slug_columns=bool(s.get("slug_columns", False)),
             )

@@ -37,6 +37,9 @@ class Source:
     name: str | None = None
     # pandas-spec subset the reference exercises (gdho/ec_meetings)
     options: dict = field(default_factory=dict)
+    # runpandarun-style ``operations:`` list (generic playbook dispatch,
+    # round 5 — see sources/playbook.py; reference extract.md:30-46)
+    operations: list = field(default_factory=list)
     limit: int | None = None
     slug_columns: bool = False
 
@@ -143,6 +146,13 @@ def read_source(spark: SparkSession, source: Source) -> DataFrame:
         source = dataclasses.replace(source, uri=fetch_to_spool(source.uri))
     opts = dict(source.options)
     suffix = pathlib.Path(source.uri).suffix.lower()
+    if suffix not in (".xlsx", ".xls", ".json", ".jsonl", ".ndjson",
+                      ".parquet", ".csv", ".tsv", ".txt"):
+        # extensionless / unknown-suffix URI: sniff the content —
+        # the reference dispatches on the resource mimetype
+        # (guess_handler_from_mimetype, logic/extract.py:21); local
+        # spool files carry no Content-Type, so magic bytes stand in
+        suffix = _sniff_suffix(source.uri)
     if suffix in (".xlsx", ".xls"):
         df = _read_excel_driver(spark, source, opts)
     elif suffix in (".json", ".jsonl", ".ndjson"):
@@ -151,6 +161,10 @@ def read_source(spark: SparkSession, source: Source) -> DataFrame:
         df = spark.read.parquet(source.uri)
     else:
         df = _read_csv(spark, source, opts)
+    if source.operations:
+        from investigraph_etl_spark.sources.playbook import apply_operations
+
+        df = apply_operations(df, source.operations)
     if source.slug_columns:
         from investigraph_etl_spark.functions.ids import slugify_columns
 
@@ -160,6 +174,27 @@ def read_source(spark: SparkSession, source: Source) -> DataFrame:
         # projection into the scan — no full read happens
         df = df.limit(source.limit)
     return df.withColumn("__source__", F.lit(source.name))
+
+
+def _sniff_suffix(uri: str) -> str:
+    """Content sniffing for URIs whose extension names no known format
+    (round-5, VERDICT r4 item 8 — the reference's
+    ``guess_handler_from_mimetype`` analog for spooled local files):
+    zip magic → xlsx, parquet magic → parquet, a leading '{'/'[' →
+    JSON, anything else → CSV (the reference's own default)."""
+    try:
+        with open(uri, "rb") as fh:
+            head = fh.read(64)
+    except OSError:
+        return ".csv"
+    if head[:4] == b"PK\x03\x04":
+        return ".xlsx"
+    if head[:4] == b"PAR1":
+        return ".parquet"
+    stripped = head.lstrip()
+    if stripped[:1] in (b"{", b"["):
+        return ".json"
+    return ".csv"
 
 
 def _read_csv(spark: SparkSession, source: Source, opts: dict) -> DataFrame:
