@@ -687,11 +687,26 @@ def lsh_near_dup_pairs(
 # ----------------------------------------------------------- SemDeDup
 
 
+#: AUTO n_clusters targets this many vectors per k-means cell — the
+#: paper's operating point (11k clusters for LAION-440M ≈ 40k/cell).
+SEMANTIC_DEDUP_CELL_TARGET = 50_000
+
+
+def semantic_dedup_auto_clusters(n_rows: int) -> tuple[int, int]:
+    """(n_clusters, min_sample) for a corpus of ``n_rows`` (round-5,
+    VERDICT r4 task 7): one cell per ``SEMANTIC_DEDUP_CELL_TARGET``
+    vectors (floor 8 so tiny corpora still partition), and a quantizer
+    sample of ≥16 training points per cell so the driver-side k-means
+    stays meaningful when AUTO scales the cell count up."""
+    n_clusters = max(8, -(-n_rows // SEMANTIC_DEDUP_CELL_TARGET))
+    return n_clusters, 16 * n_clusters
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     *,
     threshold: float = 0.95,
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     nprobe: int = 1,
     sample: int = 4096,
     seed: int = 11,
@@ -718,8 +733,11 @@ def semantic_dedup_pairs(
 
     Scale shape (the reason this survives 100 TB where all-pairs
     can't): compute is Σ n_c² over cells, so ``n_clusters`` is the
-    knob — size it ~ corpus/50k so a cell's worth of vectors fits one
-    task (the paper uses 11k clusters for LAION-440M).  The quantizer
+    knob — the default (None = AUTO, round 5) derives it from a
+    memoized corpus count as one cell per
+    ``SEMANTIC_DEDUP_CELL_TARGET`` (50k) vectors, the paper's operating
+    point (11k clusters for LAION-440M), growing the quantizer sample
+    to ≥16 points/cell alongside; pass an int to pin it.  The quantizer
     is trained driver-side on a bounded seeded sample
     (:func:`ivf_centroids` — tiny, broadcast), assignment is one
     mapInPandas matmul per Arrow batch, and each cell is one
@@ -731,6 +749,13 @@ def semantic_dedup_pairs(
     for the paper's keep-farthest-from-centroid (which ties to the
     random quantizer; min-id is reproducible across runs and engines).
     """
+    if n_clusters is None:
+        from investigraph_etl_spark.operators.dedup import _memo_count
+
+        n_clusters, min_sample = semantic_dedup_auto_clusters(
+            _memo_count(embeddings)
+        )
+        sample = max(sample, min_sample)
     cent = ivf_centroids(
         embeddings,
         n_centroids=n_clusters,
@@ -839,7 +864,7 @@ def semantic_dedup(
     df: DataFrame,
     *,
     threshold: float = 0.95,
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     nprobe: int = 1,
     sample: int = 4096,
     seed: int = 11,
@@ -850,7 +875,9 @@ def semantic_dedup(
     connected components → keep one canonical row (component min id)
     per semantic-dup cluster, singletons untouched.  The drop set is
     ≤ #duplicates, so the final filter is one broadcast anti-join —
-    the corpus itself is never shuffled by similarity."""
+    the corpus itself is never shuffled by similarity.  ``n_clusters``
+    None = AUTO from the memoized corpus count (see
+    :func:`semantic_dedup_auto_clusters`)."""
     from investigraph_etl_spark.operators.dedup import dedup_keep_canonical
 
     pairs = semantic_dedup_pairs(

@@ -557,3 +557,94 @@ def test_file_skipping_with_tombstones_and_async_compaction(spark, lake):
     # stats reference only files the manifest still points at
     current = set(lake._bucket_files())
     assert set(lake._manifest["file_stats"]) <= current
+
+
+# ------------------------- IcebergLakeTable (jar-gated) dry-run cover
+
+
+def test_iceberg_merge_sql_text():
+    """The production MERGE INTO path is jar-gated (no Iceberg runtime
+    in this sandbox) — pin the generated SQL TEXT so it cannot rot
+    silently (round-5, VERDICT r4 task 5): all three clauses present,
+    both MATCHED clauses guarded by the late-event `_seq` rule, delete
+    ordered before update (first matching WHEN wins in Spark SQL), and
+    inserts never resurrect tombstones."""
+    from investigraph_etl_spark.sources.lake import IcebergLakeTable
+
+    sql = IcebergLakeTable.MERGE_SQL.format(
+        table="cat.db.docs", source="_merge_src", key="doc_id"
+    )
+    flat = " ".join(sql.split())
+    assert "MERGE INTO cat.db.docs t" in flat
+    assert "USING _merge_src s" in flat
+    assert "ON t.doc_id = s.doc_id" in flat
+    delete = "WHEN MATCHED AND s.op = 'delete' AND s.event_sequence > t._seq THEN DELETE"
+    update = "WHEN MATCHED AND s.event_sequence > t._seq THEN UPDATE SET *"
+    insert = "WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *"
+    assert delete in flat and update in flat and insert in flat
+    # clause ORDER is semantic: the guarded DELETE must precede the
+    # guarded UPDATE or deletes would be applied as updates
+    assert flat.index(delete) < flat.index(update) < flat.index(insert)
+    # every data-changing clause is late-event-guarded or tombstone-safe
+    assert flat.count("s.event_sequence > t._seq") == 2
+
+
+def test_iceberg_requires_configured_runtime(spark):
+    from investigraph_etl_spark.sources.lake import IcebergLakeTable
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime not configured"):
+        IcebergLakeTable(spark, "cat.db.docs")
+
+
+# -------------------- async-compaction concurrency property (task 6)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_async_compaction_interleaved_reads_lww_equivalent(
+    spark, tmp_path, seed
+):
+    """Randomized (seeded) multi-commit ingest with compact_mode='async':
+    background folds overlap subsequent commits (lake.py merge →
+    _harvest_compaction), and a read issued at ANY point — including
+    while a fold is in flight — must see the exact LWW survivor set of
+    the commits applied so far (round-5, VERDICT r4 task 6).  Also
+    time-travels back to every recorded version at the end: harvested
+    compaction commits must not have changed any snapshot's rows."""
+    import random
+
+    rng = random.Random(seed)
+    n_commits = rng.choice([3, 4])
+    chunk = rng.choice([200, 350])
+    n_docs = rng.choice([40, 80])
+    lake = HashLakeTable.create(
+        spark, str(tmp_path / f"alake{seed}"), target_schema(), num_buckets=4
+    )
+    lake.compact_target_file_rows = rng.choice([4, 64])
+    events = gen_events_pandas(
+        0, n_commits * chunk, seed=seed, n_docs=n_docs, dirty_frac=0.15
+    )
+    snapshots = []  # (version, oracle prefix end)
+    for bid in range(n_commits):
+        part = events.iloc[bid * chunk : (bid + 1) * chunk]
+        lake.merge(
+            prepare_batch(_spark_events(spark, part)),
+            bid,
+            auto_compact_deltas=rng.choice([1, 2]),
+            compact_mode="async",
+        )
+        snapshots.append((lake.version, (bid + 1) * chunk))
+        # mid-flight read: the async fold from THIS commit may still be
+        # running — the read must already be LWW-exact
+        if rng.random() < 0.7:
+            assert_pdf_equal(
+                lake.read().toPandas(),
+                oracle_reduce(events.iloc[: (bid + 1) * chunk]),
+            )
+    lake.wait_for_compaction()
+    assert_pdf_equal(lake.read().toPandas(), oracle_reduce(events))
+    # every recorded snapshot still reads to its own prefix's LWW state
+    for version, end in snapshots:
+        assert_pdf_equal(
+            lake.read(version=version).toPandas(),
+            oracle_reduce(events.iloc[:end]),
+        )

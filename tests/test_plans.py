@@ -196,17 +196,25 @@ def test_repetition_signals_two_hash_aggs_no_join(spark):
 
 def test_queries_ordering_keeps_oracle_keys_in_driver_window():
     """Round-4 regression guard (VERDICT r3 task 2): the driver
-    verifies only the FIRST 50 queries() entries.  Every key that has
-    an oracle_sql() twin must sit inside that window, or its value
-    check silently never runs (r3 lost cdc_replay_lake and
-    lake_incremental_agg this way)."""
+    verifies only the FIRST 50 queries() entries.  Round 5 has MORE
+    oracle-backed keys (53) than window slots, so the guard becomes:
+    every window slot must carry an oracle (no rows-only key may waste
+    a slot while an oracle-backed key sits outside), and the only
+    oracle keys allowed past the window are the three DECLARED
+    rotations (long-stable trivial queries, gate-green rounds 1-4,
+    still pytest-covered)."""
     qs = list(entry.queries())
     oracle_keys = set(entry.oracle_sql())
-    window = set(qs[:50])
-    missing = oracle_keys - window
-    assert not missing, (
-        f"oracle-checked keys pushed past the driver's 50-row window: "
-        f"{sorted(missing)} — reorder queries() so they come first"
+    window = qs[:50]
+    rows_only_in_window = [k for k in window if k not in oracle_keys]
+    assert not rows_only_in_window, (
+        f"rows-only keys occupy driver-window slots while oracle-backed "
+        f"keys sit outside: {rows_only_in_window}"
+    )
+    rotated = oracle_keys - set(window)
+    assert rotated <= {"union_parties", "wordcount", "groupby_count"}, (
+        f"oracle-checked keys pushed past the driver's 50-row window "
+        f"beyond the declared rotation set: {sorted(rotated)}"
     )
     # every oracle key must also have a query (no orphan oracles)
     assert oracle_keys <= set(qs)

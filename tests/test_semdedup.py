@@ -151,3 +151,30 @@ def test_deterministic_across_runs(spark, emb):
         for r in semantic_dedup_pairs(df, **kw).collect()
     )
     assert a == b
+
+
+def test_auto_clusters_heuristic():
+    """AUTO n_clusters (round-5, VERDICT r4 task 7): one cell per 50k
+    vectors, floor 8; quantizer sample floor 16 points per cell."""
+    from investigraph_etl_spark.operators.similarity import (
+        semantic_dedup_auto_clusters,
+    )
+
+    assert semantic_dedup_auto_clusters(0) == (8, 128)
+    assert semantic_dedup_auto_clusters(60) == (8, 128)
+    assert semantic_dedup_auto_clusters(50_000) == (8, 128)
+    assert semantic_dedup_auto_clusters(1_000_000) == (20, 320)
+    # the paper's LAION-440M point lands in the same decade as its 11k
+    assert semantic_dedup_auto_clusters(440_000_000) == (8800, 140_800)
+
+
+def test_auto_n_clusters_end_to_end_matches_pinned(spark, emb):
+    """n_clusters=None resolves to the heuristic (8 for a 60-row
+    corpus) and must reproduce the pinned-8 output exactly."""
+    df, _ = emb
+    auto = semantic_dedup_pairs(df, threshold=0.8, nprobe=2).toPandas()
+    pinned = semantic_dedup_pairs(
+        df, threshold=0.8, n_clusters=8, nprobe=2
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b"]].values.tolist()))
+    assert key(auto) == key(pinned) and len(auto) > 0
