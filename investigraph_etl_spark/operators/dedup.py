@@ -404,15 +404,23 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
     codegen), costing ~64 expression evals per token (~3s for 5k docs
     at sf0.1).  The numpy form does the same math as one
     ``unpackbits → column-sum → packbits`` per doc with a per-batch
-    token-hash memo (blake2b-8; deterministic across runs/processes),
-    ~50× faster and still executor-side only."""
+    token-hash memo, ~50× faster and still executor-side only.
+
+    The token hash is the ENGINE-PORTABLE md5-64 recipe (round 5, same
+    family as the minhash base): ``int(md5(w)[:16 hex], 16)`` — in
+    DuckDB ``('0x'||substr(md5(w),1,16))::UBIGINT`` — replacing the
+    round-2 blake2b-8 (equally deterministic, but unavailable in other
+    engines, which blocked a value oracle for the near-dup output).
+    Fingerprint bit ``b`` equals the majority of token-hash bit ``b``:
+    the unpackbits→packbits round trip is a bit-position bijection, so
+    an oracle can recompute fingerprints with plain ``>> b & 1``."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         import re as _re
 
         import numpy as np
-        from hashlib import blake2b
+        from hashlib import md5
 
         # Tokenize with the SAME rule as textstats.words(): Java \s+ is
         # ASCII whitespace only.  Python str.split() would also split on
@@ -425,9 +433,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
         def token_hash(w: str) -> int:
             v = memo.get(w)
             if v is None:
-                v = int.from_bytes(
-                    blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
-                )
+                v = int(md5(w.encode("utf-8")).hexdigest()[:16], 16)
                 memo[w] = v
             return v
 

@@ -107,16 +107,15 @@ def test_simhash_properties(spark, docs):
 def test_simhash_tokenizes_like_words(spark):
     """The UDF must tokenize with textstats.words()'s rule (ASCII
     whitespace only): NBSP does NOT split, so "A\\u00a0b" is ONE token
-    whose fingerprint equals its raw token-hash bits."""
-    from hashlib import blake2b
+    whose fingerprint equals its raw token-hash bits.  Also pins the
+    engine-portable md5-64 token hash (round 5): the same value DuckDB
+    derives via ('0x'||substr(md5(w),1,16))::UBIGINT."""
+    from hashlib import md5
 
     df = spark.createDataFrame([(1, "A b")], "doc_id int, text string")
     fp = simhash(df).collect()[0]["simhash"]
-    exp = int.from_bytes(
-        blake2b("a b".encode("utf-8"), digest_size=8).digest(),
-        "little",
-        signed=True,
-    )
+    raw = int(md5("a b".encode("utf-8")).hexdigest()[:16], 16)
+    exp = raw - (1 << 64) if raw >= (1 << 63) else raw
     assert fp == exp
 
 
