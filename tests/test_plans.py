@@ -194,15 +194,25 @@ def test_repetition_signals_two_hash_aggs_no_join(spark):
     assert "SortAggregate" not in t
 
 
+# The declared rotation set: long-stable trivial queries, gate-green in
+# rounds 1-4, whose oracles are KEPT but whose queries() slots sit past
+# the driver's 50-row window to make room for the value-oracled
+# approximate ops (VERDICT r4 task 1).  Value coverage for these five
+# moves into pytest: test_rotated_queries_still_value_checked below
+# runs each against its own DuckDB oracle.
+ROTATED_PAST_WINDOW = {
+    "union_parties", "wordcount", "groupby_count",
+    "filter_project", "events_per_day",
+}
+
+
 def test_queries_ordering_keeps_oracle_keys_in_driver_window():
     """Round-4 regression guard (VERDICT r3 task 2): the driver
     verifies only the FIRST 50 queries() entries.  Round 5 has MORE
-    oracle-backed keys (53) than window slots, so the guard becomes:
+    oracle-backed keys (55) than window slots, so the guard becomes:
     every window slot must carry an oracle (no rows-only key may waste
     a slot while an oracle-backed key sits outside), and the only
-    oracle keys allowed past the window are the three DECLARED
-    rotations (long-stable trivial queries, gate-green rounds 1-4,
-    still pytest-covered)."""
+    oracle keys allowed past the window are the DECLARED rotations."""
     qs = list(entry.queries())
     oracle_keys = set(entry.oracle_sql())
     window = qs[:50]
@@ -212,12 +222,41 @@ def test_queries_ordering_keeps_oracle_keys_in_driver_window():
         f"keys sit outside: {rows_only_in_window}"
     )
     rotated = oracle_keys - set(window)
-    assert rotated <= {"union_parties", "wordcount", "groupby_count"}, (
+    assert rotated <= ROTATED_PAST_WINDOW, (
         f"oracle-checked keys pushed past the driver's 50-row window "
         f"beyond the declared rotation set: {sorted(rotated)}"
     )
     # every oracle key must also have a query (no orphan oracles)
     assert oracle_keys <= set(qs)
+
+
+def test_rotated_queries_still_value_checked(spark):
+    """The five rotated queries left the driver's verification window;
+    this test IS their value check now — each runs on Spark at sf0.001
+    and must match its own oracle_sql() on DuckDB (same canon/dtype
+    comparison the local gate emulation uses, tools/compare.py)."""
+    import importlib.util
+    import pathlib
+
+    duckdb = pytest.importorskip("duckdb")
+    cmp_path = pathlib.Path(__file__).parents[1] / "tools" / "compare.py"
+    spec = importlib.util.spec_from_file_location("_compare", cmp_path)
+    cmp_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cmp_mod)
+
+    con = duckdb.connect()
+    for t in cmp_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in sorted(ROTATED_PAST_WINDOW):
+        got = qs[name](spark, SF).toPandas()
+        exp = con.execute(oracles[name]).df()
+        assert sorted(got.columns) == sorted(exp.columns), name
+        assert len(got) == len(exp), (name, len(got), len(exp))
+        assert not cmp_mod.dtype_mismatches(got, exp), name
+        assert cmp_mod.canon(got) == cmp_mod.canon(exp), name
 
 
 def test_token_decontaminate_broadcasts_bench_vocab(spark):
