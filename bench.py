@@ -488,6 +488,21 @@ def write_bench_md(result: dict) -> None:
             else " — within the 2× validity threshold"
         ),
         "",
+        # durable pointer: this file is REGENERATED by every full
+        # bench.py run, so the cross-round record must not live only
+        # here.  BASELINE.md (never touched by this writer) keeps every
+        # pair measurement ever published — voids included — and names
+        # the standing DESIGNATED measurement (designation by
+        # pre-registered measurement-quality criteria only, never by
+        # value; raw JSON committed as BENCH_PAIR_r*.json).  A voided
+        # pair above therefore never erases the engine's established
+        # scaling evidence; it adds one more row to that table.
+        "Round-by-round pair history — every measurement ever taken,"
+        " voids included, plus the standing designated efficiency and"
+        " the raw per-rep JSON artifacts (BENCH_PAIR_r*.json) — is"
+        " durably recorded in BASELINE.md, which this file's"
+        " regeneration never touches.",
+        "",
     ]
     if ex:
         lines += [
