@@ -155,6 +155,40 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _run_stats(arr: Column) -> Column:
+    """Single pass over ``array_sort(arr)`` computing
+    ``struct(best, dist)``: the longest identical-element run (= the
+    count of the most frequent element, since sorting groups equal
+    elements) and the distinct-element count (= the number of run
+    boundaries).  O(n log n) per row, all JVM-side, zero shuffle."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("dist"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+            (
+                acc["dist"]
+                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1)
+                .otherwise(0)
+            ).alias("dist"),
+        ),
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dist"].alias("dist")),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     "Scaling Language Models" §A1.1 repetition filters): per doc the
@@ -163,16 +197,29 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate (SEO spam, scraped templates, decoding loops) shows up
     as a high top-gram share long before exact dedup catches it.
 
-    Scale shape: ONE explode of (word ∪ bigram) grams → two hash
-    aggregates with map-side combine (fixed-width buffers) — cost ∝
-    total tokens.  The zero-shuffle pure-expression alternative (count
-    each distinct gram with a nested ``filter`` lambda) is
-    O(n·distinct) per document and degrades quadratically on long
-    docs, so the shuffle is the right trade here.
+    Scale shape (round 5): the signals are INTRA-document, so no
+    cross-row state is needed at all — per doc, sort the word (and
+    bigram) array once and take one run-length pass over it
+    (:func:`_run_stats`): the longest run is the top-gram count, the
+    run-boundary count is the distinct count.  ZERO shuffles; cost
+    O(n log n) per doc, embarrassingly parallel.  This replaces the
+    round-2 explode → groupBy(doc_id, gram) → groupBy(doc_id) shape,
+    which moved ~2× every token in the corpus through a hash exchange
+    — at the 100 TB design point that exchange IS the job, and it
+    bought nothing the sorted-run pass doesn't compute.  (The other
+    zero-shuffle alternative — counting each distinct gram with a
+    nested ``filter`` lambda — is O(n·distinct) per doc and was
+    rightly rejected in round 2; sorting is the O(n log n) middle
+    path.)  A pathological single doc now sorts in one task instead of
+    spreading its grams across the cluster: bounded by max-doc-length,
+    the same row that already holds the text — acceptable where docs
+    are documents, not concatenated shards.
 
     The keep rule evaluates the ROUNDED ratios so the flag is
     reproducible bit-for-bit across engines (the oracle runs the same
-    rule in SQL).  Documents with zero words emit no row.
+    rule in SQL; values and schema are identical to the explode shape
+    — pinned by the driver gate and tools/compare.py).  Documents with
+    zero words emit no row.
     """
     w = words(F.lower(F.col(text_col)))
     bigrams = F.when(
@@ -182,31 +229,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gram = lambda kind, x: F.struct(  # noqa: E731
-        F.lit(kind).alias("kind"), x.alias("gram")
+    per_doc = (
+        fan_out(df)
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_words"),
+            _run_stats(w).alias("ws"),
+            F.size(bigrams).cast("long").alias("n_bigrams"),
+            _run_stats(bigrams).alias("bs"),
+        )
+        .where(F.col("n_words") > 0)
     )
-    grams = F.concat(
-        F.transform(w, lambda x: gram("w", x)),
-        F.transform(bigrams, lambda x: gram("b", x)),
-    )
-    ex = fan_out(df).select(
-        "doc_id", F.explode(grams).alias("g")
-    ).select("doc_id", "g.kind", "g.gram")
-    counts = ex.groupBy("doc_id", "kind", "gram").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    is_w = F.col("kind") == "w"
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum(F.when(is_w, F.col("n"))).alias("n_words"),
-        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
-        F.max(F.when(is_w, F.col("n"))).alias("top_word"),
-        F.sum(F.when(~is_w, F.col("n"))).alias("n_bigrams"),
-        F.max(F.when(~is_w, F.col("n"))).alias("top_bigram"),
-    )
-    dr = F.round(F.col("n_distinct") / F.col("n_words"), 4)
-    twf = F.round(F.col("top_word") / F.col("n_words"), 4)
+    dr = F.round(F.col("ws.dist") / F.col("n_words"), 4)
+    twf = F.round(F.col("ws.best") / F.col("n_words"), 4)
     tbf = F.round(
-        F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 4
+        # 0/0 -> NULL for one-word docs (no bigrams), same as the old
+        # aggregate's MAX-over-empty; the oracle coalesces identically
+        F.coalesce(
+            F.col("bs.best")
+            / F.when(F.col("n_bigrams") > 0, F.col("n_bigrams")),
+            F.lit(0.0),
+        ),
+        4,
     )
     return per_doc.select(
         "doc_id",

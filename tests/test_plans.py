@@ -177,12 +177,12 @@ def test_stratified_sample_is_pure_narrow_filter(spark):
     assert "Python" not in plan  # no UDF fallback
 
 
-def test_repetition_signals_two_hash_aggs_no_join(spark):
-    """Repetition stats = one gram explode feeding two hash-aggregate
-    rounds: exactly two hash-partition Exchanges (gram counts, per-doc
-    fold) plus the deliberate round-robin fan-out — never a join, and
-    both aggregates must be HashAggregate (fixed-width buffers), not
-    SortAggregate."""
+def test_repetition_signals_zero_shuffle(spark):
+    """Repetition stats (round 5) = per-doc sorted-run pass, entirely
+    narrow: ZERO hash-partition Exchanges (the round-2 explode shape
+    moved ~2× every token through one), never a join, no aggregate at
+    all — the only allowed exchange is the deliberate round-robin
+    fan-out."""
     plan = explain_str(entry.q_repetition_signals(spark, SF))
     t = tree(plan)
     assert "Join" not in t
@@ -190,8 +190,8 @@ def test_repetition_signals_two_hash_aggs_no_join(spark):
         l for l in plan.splitlines()
         if "Arguments:" in l and "hashpartitioning" in l
     ]
-    assert len(hash_ex) == 2, hash_ex
-    assert "SortAggregate" not in t
+    assert len(hash_ex) == 0, hash_ex
+    assert "SortAggregate" not in t and "HashAggregate" not in t
 
 
 # The declared rotation set: long-stable trivial queries, gate-green in
