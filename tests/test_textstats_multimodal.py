@@ -156,3 +156,41 @@ def test_repetition_stats_flags_loops(spark):
     # empty-text docs emit no row
     empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
     assert repetition_stats(empty).count() == 0
+
+
+def test_run_stats_randomized_vs_counter_oracle(spark):
+    """The sorted-run pass behind repetition_stats (round 5): on 200
+    seeded random arrays plus edge cases, best == the most-frequent
+    element's count and dist == the distinct count, per an independent
+    collections.Counter oracle.  One Spark job for all cases."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from investigraph_etl_spark.operators.textstats import _run_stats
+
+    rng = random.Random(42)
+    cases: list[list[str]] = [
+        [],                       # empty array -> best 0, dist 0
+        ["a"],                    # singleton
+        ["a"] * 7,                # all identical
+        ["a", "b", "c"],          # all distinct
+        ["b", "a", "b", "a", "b"],  # interleaved (sort must group)
+    ]
+    for _ in range(200):
+        n = rng.randint(0, 40)
+        alphabet = rng.randint(1, 6)
+        cases.append([chr(ord("a") + rng.randrange(alphabet)) for _ in range(n)])
+
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(cases)], "i long, arr array<string>"
+    )
+    got = {
+        r["i"]: (r["st"]["best"], r["st"]["dist"])
+        for r in df.select("i", _run_stats(F.col("arr")).alias("st")).collect()
+    }
+    for i, arr in enumerate(cases):
+        c = Counter(arr)
+        expect = (max(c.values()) if c else 0, len(c))
+        assert got[i] == expect, (i, arr, got[i], expect)
