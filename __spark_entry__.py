@@ -257,8 +257,9 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition filters: distinct-word ratio,
-    top-word / top-bigram fractions + keep flag (one gram explode, two
-    map-side-combine hash aggs — operators/textstats.py)."""
+    top-word / top-bigram fractions + keep flag (round 5: per-doc
+    sorted-run pass, zero shuffles — operators/textstats.py;
+    zero-exchange plan pinned in tests/test_plans.py)."""
     from investigraph_etl_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))

@@ -479,11 +479,13 @@ def write_bench_md(result: dict) -> None:
             for r in cdc["runs"]
         )
         + (
-            " — **exceeds the 2× validity threshold**: the single"
-            " permitted re-run was already spent, so this published"
-            " measurement is itself steal-contaminated (quality flag,"
-            " not a pass/fail judgement; min-of-reps still bounds"
-            " sustained capability from below)"
+            " — **exceeds the 2× validity threshold → VOID under rule"
+            " (b)** (steal-burst contamination; published"
+            " unconditionally per protocol — min-of-reps still bounds"
+            " sustained capability from below, but the efficiency is"
+            " not designatable; if the in-run budget already consumed"
+            " the one permitted re-run, execute it out-of-run via"
+            " SPARK_GRAFT_BENCH_PAIR_ONLY=1)"
             if any(max(r["times"]) / min(r["times"]) > 2.0 for r in cdc["runs"])
             else " — within the 2× validity threshold"
         ),

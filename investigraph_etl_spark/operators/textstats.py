@@ -160,7 +160,33 @@ def _run_stats(arr: Column) -> Column:
     ``struct(best, dist)``: the longest identical-element run (= the
     count of the most frequent element, since sorting groups equal
     elements) and the distinct-element count (= the number of run
-    boundaries).  O(n log n) per row, all JVM-side, zero shuffle."""
+    boundaries).  O(n log n) per row, all JVM-side, zero shuffle.
+
+    PRECONDITION: array elements must be non-null (``x == prev`` is
+    three-valued on NULLs, so a NULL run would never accumulate).
+    Both callers satisfy it by construction — :func:`words` filters
+    empty tokens and ``split`` never yields NULL elements — and a NULL
+    ARRAY (null text) propagates to a NULL result, which
+    :func:`repetition_stats` filters out."""
+
+    def _step(acc: Column, x: Column) -> Column:
+        # bound once and reused by both `run` and `best` so the
+        # run-update rule can never desynchronize between them
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (
+                acc["dist"]
+                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1)
+                .otherwise(0)
+            ).alias("dist"),
+        )
+
     return F.aggregate(
         F.array_sort(arr),
         F.struct(
@@ -169,22 +195,7 @@ def _run_stats(arr: Column) -> Column:
             F.lit(0).cast("long").alias("best"),
             F.lit(0).cast("long").alias("dist"),
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1).cast("long")),
-            ).alias("best"),
-            (
-                acc["dist"]
-                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1)
-                .otherwise(0)
-            ).alias("dist"),
-        ),
+        _step,
         lambda acc: F.struct(acc["best"].alias("best"), acc["dist"].alias("dist")),
     )
 
