@@ -257,9 +257,10 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition filters: distinct-word ratio,
-    top-word / top-bigram fractions + keep flag (round 5: per-doc
-    sorted-run pass, zero shuffles — operators/textstats.py;
-    zero-exchange plan pinned in tests/test_plans.py)."""
+    top-word / top-bigram fractions + keep flag (round 5: one
+    Arrow-batched pandas UDF for per-doc gram counts, zero shuffles —
+    operators/textstats.py; zero-exchange ArrowEvalPython plan pinned
+    in tests/test_plans.py)."""
     from investigraph_etl_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))

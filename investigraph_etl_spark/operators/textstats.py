@@ -1,9 +1,12 @@
 """Text analysis operators for training-data pipelines.
 
-All native column expressions (whole-stage codegen; no Python in the
-hot path): tokenization, quality scoring, language-ID heuristic,
-document fingerprinting.  Each has a ``queries()`` entry with a DuckDB
-oracle (driver contract).
+Native column expressions (whole-stage codegen) for tokenization,
+quality scoring, language-ID heuristic and document fingerprinting;
+one Arrow-batched pandas UDF for the repetition gram counts (same
+executor-side-only rule as simhash — C-level ``Counter`` beat the
+interpreted higher-order-function alternative, see
+:func:`repetition_stats`).  Each has a ``queries()`` entry with a
+DuckDB oracle (driver contract).
 
 Scale: every operator here is a narrow projection — zero shuffles,
 pushes column pruning to the parquet scan.
@@ -11,6 +14,7 @@ pushes column pruning to the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,49 +159,10 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _run_stats(arr: Column) -> Column:
-    """Single pass over ``array_sort(arr)`` computing
-    ``struct(best, dist)``: the longest identical-element run (= the
-    count of the most frequent element, since sorting groups equal
-    elements) and the distinct-element count (= the number of run
-    boundaries).  O(n log n) per row, all JVM-side, zero shuffle.
-
-    PRECONDITION: array elements must be non-null (``x == prev`` is
-    three-valued on NULLs, so a NULL run would never accumulate).
-    Both callers satisfy it by construction — :func:`words` filters
-    empty tokens and ``split`` never yields NULL elements — and a NULL
-    ARRAY (null text) propagates to a NULL result, which
-    :func:`repetition_stats` filters out."""
-
-    def _step(acc: Column, x: Column) -> Column:
-        # bound once and reused by both `run` and `best` so the
-        # run-update rule can never desynchronize between them
-        run = (
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-        )
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-            (
-                acc["dist"]
-                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1)
-                .otherwise(0)
-            ).alias("dist"),
-        )
-
-    return F.aggregate(
-        F.array_sort(arr),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-            F.lit(0).cast("long").alias("dist"),
-        ),
-        _step,
-        lambda acc: F.struct(acc["best"].alias("best"), acc["dist"].alias("dist")),
-    )
+REP_FIELDS = (
+    "n_words long, n_distinct long, top_word long, "
+    "n_bigrams long, top_bigram long"
+)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -209,55 +174,77 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     as a high top-gram share long before exact dedup catches it.
 
     Scale shape (round 5): the signals are INTRA-document, so no
-    cross-row state is needed at all — per doc, sort the word (and
-    bigram) array once and take one run-length pass over it
-    (:func:`_run_stats`): the longest run is the top-gram count, the
-    run-boundary count is the distinct count.  ZERO shuffles; cost
-    O(n log n) per doc, embarrassingly parallel.  This replaces the
-    round-2 explode → groupBy(doc_id, gram) → groupBy(doc_id) shape,
-    which moved ~2× every token in the corpus through a hash exchange
-    — at the 100 TB design point that exchange IS the job, and it
-    bought nothing the sorted-run pass doesn't compute.  (The other
-    zero-shuffle alternative — counting each distinct gram with a
-    nested ``filter`` lambda — is O(n·distinct) per doc and was
-    rightly rejected in round 2; sorting is the O(n log n) middle
-    path.)  A pathological single doc now sorts in one task instead of
-    spreading its grams across the cluster: bounded by max-doc-length,
-    the same row that already holds the text — acceptable where docs
-    are documents, not concatenated shards.
+    cross-row state is needed at all — one Arrow-batched pandas UDF
+    computes the per-doc gram counts (C-level ``Counter``), and the
+    ratios/flag stay JVM-side expressions.  ZERO shuffles, cost ∝
+    tokens, embarrassingly parallel.  This replaces the round-2
+    explode → groupBy(doc_id, gram) → groupBy(doc_id) shape, which
+    moved ~2× every token in the corpus through a hash exchange (the
+    map-side combine barely reduced it: most grams are unique within a
+    doc) — at the 100 TB design point that exchange IS the job, and it
+    bought nothing a per-doc count doesn't compute.  Two zero-shuffle
+    alternatives were measured and rejected (same A/B protocol as the
+    simhash round-2 rewrite, which hit the identical wall): a sorted
+    run-length ``aggregate`` HOF pass ran interpreted outside
+    whole-stage codegen — wall-clock parity at best and ~3× worse
+    under host CPU steal — and a nested ``filter`` count is
+    O(n·distinct)/doc.
 
-    The keep rule evaluates the ROUNDED ratios so the flag is
-    reproducible bit-for-bit across engines (the oracle runs the same
-    rule in SQL; values and schema are identical to the explode shape
-    — pinned by the driver gate and tools/compare.py).  Documents with
-    zero words emit no row.
+    Tokenization follows the simhash precedent for cross-engine
+    parity: ASCII ``\\s+`` splitting (Java ``\\s`` ≡ RE2 ≡ the pinned
+    Python class) so the DuckDB oracle reproduces token boundaries
+    exactly; lowercasing is ASCII-equivalent across Python/JVM/DuckDB
+    on the value-checked corpora.  The keep rule evaluates the ROUNDED
+    ratios so the flag is reproducible bit-for-bit across engines (the
+    oracle runs the same rule in SQL; values and schema are identical
+    to the explode shape — pinned by the driver gate and
+    tools/compare.py).  Documents with zero words emit no row.
     """
-    w = words(F.lower(F.col(text_col)))
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.slice(w, 1, F.size(w) - 1),
-            lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    @F.pandas_udf(REP_FIELDS)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        import re as _re
+        from collections import Counter
+
+        # SAME token rule as words(): Java \s+ is ASCII whitespace
+        # only; Python str.split() would also split Unicode whitespace
+        _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None, None, None))
+                continue
+            ws = [w for w in _ws.split(t.lower()) if w]
+            if not ws:
+                rows.append((0, 0, 0, 0, 0))
+                continue
+            cw = Counter(ws)
+            bg = Counter(zip(ws, ws[1:]))
+            rows.append((
+                len(ws),
+                len(cw),
+                max(cw.values()),
+                len(ws) - 1,
+                max(bg.values()) if bg else 0,
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["n_words", "n_distinct", "top_word", "n_bigrams", "top_bigram"],
+        )
+
     per_doc = (
         fan_out(df)
-        .select(
-            "doc_id",
-            F.size(w).cast("long").alias("n_words"),
-            _run_stats(w).alias("ws"),
-            F.size(bigrams).cast("long").alias("n_bigrams"),
-            _run_stats(bigrams).alias("bs"),
-        )
+        .select("doc_id", _rep(F.col(text_col)).alias("r"))
+        .select("doc_id", "r.*")
         .where(F.col("n_words") > 0)
     )
-    dr = F.round(F.col("ws.dist") / F.col("n_words"), 4)
-    twf = F.round(F.col("ws.best") / F.col("n_words"), 4)
+    dr = F.round(F.col("n_distinct") / F.col("n_words"), 4)
+    twf = F.round(F.col("top_word") / F.col("n_words"), 4)
     tbf = F.round(
         # 0/0 -> NULL for one-word docs (no bigrams), same as the old
         # aggregate's MAX-over-empty; the oracle coalesces identically
         F.coalesce(
-            F.col("bs.best")
+            F.col("top_bigram")
             / F.when(F.col("n_bigrams") > 0, F.col("n_bigrams")),
             F.lit(0.0),
         ),

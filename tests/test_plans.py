@@ -177,12 +177,13 @@ def test_stratified_sample_is_pure_narrow_filter(spark):
     assert "Python" not in plan  # no UDF fallback
 
 
-def test_repetition_signals_zero_shuffle(spark):
-    """Repetition stats (round 5) = per-doc sorted-run pass, entirely
-    narrow: ZERO hash-partition Exchanges (the round-2 explode shape
-    moved ~2× every token through one), never a join, no aggregate at
-    all — the only allowed exchange is the deliberate round-robin
-    fan-out."""
+def test_repetition_signals_zero_shuffle_arrow(spark):
+    """Repetition stats (round 5) = one Arrow-batched pandas UDF for
+    the per-doc gram counts, entirely narrow: ZERO hash-partition
+    Exchanges (the round-2 explode shape moved ~2× every token through
+    one), never a join, no aggregate at all — the only allowed exchange
+    is the deliberate round-robin fan-out.  The Python stage must be
+    ArrowEvalPython (vectorized), never row-at-a-time BatchEvalPython."""
     plan = explain_str(entry.q_repetition_signals(spark, SF))
     t = tree(plan)
     assert "Join" not in t
@@ -192,6 +193,7 @@ def test_repetition_signals_zero_shuffle(spark):
     ]
     assert len(hash_ex) == 0, hash_ex
     assert "SortAggregate" not in t and "HashAggregate" not in t
+    assert "ArrowEvalPython" in t and "BatchEvalPython" not in t
 
 
 # The declared rotation set: long-stable trivial queries, gate-green in

@@ -158,39 +158,49 @@ def test_repetition_stats_flags_loops(spark):
     assert repetition_stats(empty).count() == 0
 
 
-def test_run_stats_randomized_vs_counter_oracle(spark):
-    """The sorted-run pass behind repetition_stats (round 5): on 200
-    seeded random arrays plus edge cases, best == the most-frequent
-    element's count and dist == the distinct count, per an independent
-    collections.Counter oracle.  One Spark job for all cases."""
+def test_repetition_stats_randomized_vs_python_oracle(spark):
+    """End-to-end randomized oracle for the round-5 pandas-UDF shape:
+    200 seeded random documents (small alphabets force repeats, sizes
+    0-40 words) plus edge cases, verified against an independent pure-
+    Python Counter oracle computing the same rounded ratios and keep
+    rule.  One Spark job for all cases."""
     import random
     from collections import Counter
 
-    from pyspark.sql import functions as F
-
-    from investigraph_etl_spark.operators.textstats import _run_stats
+    from investigraph_etl_spark.operators.textstats import repetition_stats
 
     rng = random.Random(42)
-    cases: list[list[str]] = [
-        [],                       # empty array -> best 0, dist 0
-        ["a"],                    # singleton
-        ["a"] * 7,                # all identical
-        ["a", "b", "c"],          # all distinct
-        ["b", "a", "b", "a", "b"],  # interleaved (sort must group)
+    texts: list[str] = [
+        "",               # no words -> no row
+        "   ",            # whitespace only -> no row
+        "word",           # singleton, no bigrams
+        "A a\ta",          # case-fold + tab whitespace
+        "x Y x y X y",    # interleaved
     ]
     for _ in range(200):
         n = rng.randint(0, 40)
         alphabet = rng.randint(1, 6)
-        cases.append([chr(ord("a") + rng.randrange(alphabet)) for _ in range(n)])
+        texts.append(
+            " ".join(chr(ord("a") + rng.randrange(alphabet)) for _ in range(n))
+        )
 
     df = spark.createDataFrame(
-        [(i, arr) for i, arr in enumerate(cases)], "i long, arr array<string>"
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = {
-        r["i"]: (r["st"]["best"], r["st"]["dist"])
-        for r in df.select("i", _run_stats(F.col("arr")).alias("st")).collect()
-    }
-    for i, arr in enumerate(cases):
-        c = Counter(arr)
-        expect = (max(c.values()) if c else 0, len(c))
-        assert got[i] == expect, (i, arr, got[i], expect)
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        if not ws:
+            assert i not in got, (i, t)
+            continue
+        cw, bg = Counter(ws), Counter(zip(ws, ws[1:]))
+        dr = round(len(cw) / len(ws), 4)
+        twf = round(max(cw.values()) / len(ws), 4)
+        tbf = round(max(bg.values()) / (len(ws) - 1), 4) if bg else 0.0
+        r = got[i]
+        assert r["n_words"] == len(ws), (i, t, r)
+        assert r["distinct_word_ratio"] == dr, (i, t, r)
+        assert r["top_word_frac"] == twf, (i, t, r)
+        assert r["top_bigram_frac"] == tbf, (i, t, r)
+        assert r["rep_keep"] == (dr >= 0.2 and twf <= 0.2 and tbf <= 0.18), (i, t, r)
